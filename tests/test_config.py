@@ -1,0 +1,91 @@
+"""Config cascade tests (behavior of reference utils/hparams.py)."""
+
+import textwrap
+
+from diffsinger_tpu.config import load_config, override_config
+
+
+def _write(tmp_path, name, content):
+    p = tmp_path / name
+    p.write_text(textwrap.dedent(content))
+    return str(p)
+
+
+def test_base_config_chain_and_override(tmp_path):
+    base = _write(
+        tmp_path,
+        "base.yaml",
+        """
+        a: 1
+        nested:
+          x: 1
+          y: 2
+        list_key: [1, 2]
+        """,
+    )
+    child = _write(
+        tmp_path,
+        "child.yaml",
+        f"""
+        base_config: [{base}]
+        a: 10
+        nested:
+          y: 20
+        """,
+    )
+    cfg = load_config(child, save_snapshot=False)
+    assert cfg["a"] == 10
+    assert cfg["nested"] == {"x": 1, "y": 20}
+    assert cfg["list_key"] == [1, 2]
+    assert cfg.infer is False
+
+
+def test_relative_base_config(tmp_path):
+    _write(tmp_path, "base.yaml", "k: base\nother: 1\n")
+    child = _write(tmp_path, "sub.yaml", "base_config: [./base.yaml]\nk: child\n")
+    cfg = load_config(child, save_snapshot=False)
+    assert cfg["k"] == "child"
+    assert cfg["other"] == 1
+
+
+def test_hparams_str_typed_override(tmp_path):
+    child = _write(tmp_path, "c.yaml", "lr: 0.5\nflag: false\nsteps: 100\nname: hello\n")
+    cfg = load_config(child, hparams_str="lr=0.25,flag=True,steps=7,name=world,newkey=3", save_snapshot=False)
+    assert cfg["lr"] == 0.25 and isinstance(cfg["lr"], float)
+    assert cfg["flag"] is True
+    assert cfg["steps"] == 7 and isinstance(cfg["steps"], int)
+    assert cfg["name"] == "world"
+    assert cfg["newkey"] == 3
+
+
+def test_work_dir_snapshot_precedence(tmp_path):
+    child = _write(tmp_path, "c.yaml", "a: 1\nb: 2\n")
+    ckpt_root = tmp_path / "checkpoints"
+    # first load writes the snapshot
+    cfg1 = load_config(child, exp_name="exp1", ckpt_root=ckpt_root)
+    assert (ckpt_root / "exp1" / "config.yaml").exists()
+    assert cfg1["a"] == 1
+    # edit config file; snapshot should win without reset
+    _write(tmp_path, "c.yaml", "a: 99\nb: 2\n")
+    cfg2 = load_config(child, exp_name="exp1", ckpt_root=ckpt_root)
+    assert cfg2["a"] == 1
+    # with reset=True the new config file wins
+    cfg3 = load_config(child, exp_name="exp1", ckpt_root=ckpt_root, reset=True)
+    assert cfg3["a"] == 99
+
+
+def test_reference_acoustic_config_loads():
+    cfg = load_config("/root/reference/configs/acoustic.yaml", save_snapshot=False)
+    # spot-check cascade over base.yaml
+    assert cfg["hidden_size"] == 256
+    assert cfg["audio_num_mel_bins"] == 128
+    assert cfg["diffusion_type"] == "reflow"
+    assert cfg["backbone_args"]["num_channels"] == 1024
+    assert cfg["optimizer_args"]["lr"] == 0.0006  # overridden
+    assert cfg["optimizer_args"]["beta1"] == 0.9  # inherited from base
+
+
+def test_override_config_merges_nested():
+    old = {"a": {"b": 1, "c": 2}, "d": 3}
+    override_config(old, {"a": {"b": 10}, "e": 4})
+    assert old == {"a": {"b": 10, "c": 2}, "d": 3, "e": 4}
