@@ -1,0 +1,117 @@
+"""Rectified-flow training targets and ODE samplers (euler/rk2/rk4/rk5).
+
+Parity with reference modules/core/reflow.py. ``velocity_fn(x, t_scaled) -> v``
+operates on flat [B, T, D] tensors; ``t_scaled`` is float [B] (already
+multiplied by ``time_scale_factor`` as the backbones expect).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+VelocityFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+def p_losses_inputs(x_end: jnp.ndarray, t: jnp.ndarray, rng: jax.Array):
+    """Interpolated state and target velocity (reflow.py:36-41).
+
+    :param x_end: [B, T, D] normalized data
+    :param t: [B] float in [t_start, 1]
+    :return: (x_t, v_gt = x_end - x_start)
+    """
+    x_start = jax.random.normal(rng, x_end.shape, dtype=x_end.dtype)
+    x_t = x_start + t[:, None, None] * (x_end - x_start)
+    return x_t, x_end - x_start
+
+
+def _step_euler(velocity_fn, x, t, dt, tsf):
+    return x + velocity_fn(x, tsf * t) * dt
+
+
+def _step_rk2(velocity_fn, x, t, dt, tsf):
+    k1 = velocity_fn(x, tsf * t)
+    k2 = velocity_fn(x + 0.5 * k1 * dt, tsf * (t + 0.5 * dt))
+    return x + k2 * dt
+
+
+def _step_rk4(velocity_fn, x, t, dt, tsf):
+    k1 = velocity_fn(x, tsf * t)
+    k2 = velocity_fn(x + 0.5 * k1 * dt, tsf * (t + 0.5 * dt))
+    k3 = velocity_fn(x + 0.5 * k2 * dt, tsf * (t + 0.5 * dt))
+    k4 = velocity_fn(x + k3 * dt, tsf * (t + dt))
+    return x + (k1 + 2 * k2 + 2 * k3 + k4) * dt / 6
+
+
+def _step_rk5(velocity_fn, x, t, dt, tsf):
+    k1 = velocity_fn(x, tsf * t)
+    k2 = velocity_fn(x + 0.25 * k1 * dt, tsf * (t + 0.25 * dt))
+    k3 = velocity_fn(x + 0.125 * (k2 + k1) * dt, tsf * (t + 0.25 * dt))
+    k4 = velocity_fn(x + 0.5 * (-k2 + 2 * k3) * dt, tsf * (t + 0.5 * dt))
+    k5 = velocity_fn(x + 0.0625 * (3 * k1 + 9 * k4) * dt, tsf * (t + 0.75 * dt))
+    k6 = velocity_fn(
+        x + (-3 * k1 + 2 * k2 + 12 * k3 - 12 * k4 + 8 * k5) * dt / 7, tsf * (t + dt)
+    )
+    return x + (7 * k1 + 32 * k3 + 12 * k4 + 32 * k5 + 7 * k6) * dt / 90
+
+
+_STEPS = {"euler": _step_euler, "rk2": _step_rk2, "rk4": _step_rk4, "rk5": _step_rk5}
+
+
+def sample_ode(
+    velocity_fn: VelocityFn,
+    x: jnp.ndarray,
+    *,
+    t_start: float,
+    steps: int,
+    algorithm: str = "euler",
+    time_scale_factor: float = 1000.0,
+) -> jnp.ndarray:
+    """Integrate from t_start to 1 with a fixed-step scheme (reflow.py:104-138)."""
+    step_fn = _STEPS.get(algorithm)
+    if step_fn is None:
+        raise ValueError(f"Unsupported algorithm for Rectified Flow: {algorithm}.")
+    b = x.shape[0]
+    dt = (1.0 - t_start) / max(1, steps)
+
+    def body(x, i):
+        t = jnp.full((b,), t_start + i * dt, dtype=jnp.float32)
+        return step_fn(velocity_fn, x, t, dt, time_scale_factor), None
+
+    x, _ = jax.lax.scan(body, x, jnp.arange(steps, dtype=jnp.float32))
+    return x
+
+
+def inference(
+    velocity_fn: VelocityFn,
+    shape_like: jnp.ndarray,
+    *,
+    t_start: float,
+    steps: int,
+    algorithm: str,
+    time_scale_factor: float,
+    rng: jax.Array,
+    x_end: jnp.ndarray | None = None,
+    use_shallow_diffusion: bool = False,
+) -> jnp.ndarray:
+    """Full rectified-flow inference driver (reflow.py:104-138): start from noise
+    or from the shallow source blended with noise at t_start."""
+    noise = jax.random.normal(rng, shape_like.shape, dtype=jnp.float32)
+    if use_shallow_diffusion and t_start > 0:
+        assert x_end is not None, "Missing shallow diffusion source."
+        if t_start >= 1.0:
+            return x_end
+        x = t_start * x_end + (1 - t_start) * noise
+    else:
+        t_start = 0.0
+        x = noise
+    return sample_ode(
+        velocity_fn,
+        x,
+        t_start=t_start,
+        steps=steps,
+        algorithm=algorithm,
+        time_scale_factor=time_scale_factor,
+    )
