@@ -41,6 +41,7 @@ def variance_prediction_list(hp: dict) -> list:
     return [v for v in VARIANCE_CHECKLIST if hp.get(f"predict_{v}", False)]
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class ShallowDiffusionOutput:
     aux_out: Optional[jnp.ndarray] = None
