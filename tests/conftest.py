@@ -14,6 +14,12 @@ if "xla_force_host_platform_device_count" not in xla_flags:
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax  # noqa: E402
+
+# Parity tests compare fp32 math against torch; XLA's default matmul/conv
+# precision on CPU introduces ~1e-3 relative error otherwise.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 import pytest  # noqa: E402
 
 
