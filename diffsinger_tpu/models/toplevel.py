@@ -556,15 +556,23 @@ class DiffSingerVariance:
         spk_id=None, spk_mix_embed=None, ph_spk_mix_embed=None, languages=None,
         note_midi=None, note_rest=None, note_dur=None, note_glide=None, mel2note=None,
         steps: Optional[int] = None,
+        predict_pitch: Optional[bool] = None, predict_variances: Optional[bool] = None,
     ):
-        """Inference forward. Returns (dur_pred, pitch_pred, variances_pred dict)."""
+        """Inference forward. Returns (dur_pred, pitch_pred, variances_pred dict).
+
+        ``predict_pitch``/``predict_variances`` can statically disable branches
+        for a particular segment (the reference toggles model attributes,
+        ds_variance.py:408-425; here they are static jit arguments).
+        """
         hp = self.hp
+        do_pitch = self.predict_pitch and (predict_pitch is not False)
+        do_vars = bool(self.var_list) and (predict_variances is not False)
         encoder_out, dur_pred = self.module.apply(
             params, txt_tokens, midi, ph2word, ph_dur=ph_dur, word_dur=word_dur,
             spk_id=spk_id, ph_spk_mix_embed=ph_spk_mix_embed,
             languages=languages, infer=True, method="encode",
         )
-        if not self.predict_pitch and not self.var_list:
+        if not do_pitch and not do_vars:
             return dur_pred, None, {}
 
         if mel2ph is None and word_dur is not None:
@@ -579,7 +587,7 @@ class DiffSingerVariance:
         rng_p, rng_v = jax.random.split(rng)
         pitch_fn, var_fn = self._denoise_fns(params)
         pitch_pred = None
-        if self.predict_pitch:
+        if do_pitch:
             melody_frame = None
             delta_pitch_in = None
             if self.use_melody_encoder:
@@ -600,7 +608,7 @@ class DiffSingerVariance:
             pitch_pred = self.pitch_transform.denorm(x)
 
         variances_pred = {}
-        if self.var_list:
+        if do_vars:
             if pitch is None:
                 pitch = base_pitch + pitch_pred
             var_cond = self.module.apply(
