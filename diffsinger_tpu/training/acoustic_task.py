@@ -1,0 +1,65 @@
+"""Acoustic training task (reference training/acoustic_task.py:70-242).
+
+Provides the loss function consumed by the generic SPMD train step and the
+batch collater contract (AcousticDataset.collater, acoustic_task.py:40-67).
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from diffsinger_tpu.models.losses import aux_mel_loss, diffusion_loss, reflow_loss
+from diffsinger_tpu.models.toplevel import VARIANCE_CHECKLIST, DiffSingerAcoustic
+
+
+def required_variances(hp: dict) -> list:
+    return [v for v in VARIANCE_CHECKLIST if hp.get(f"use_{v}_embed", False)]
+
+
+def make_acoustic_loss_fn(model: DiffSingerAcoustic):
+    """loss_fn(params, batch, rng) -> (loss, metrics) for the acoustic model
+    (run_model semantics, acoustic_task.py:119-169)."""
+    hp = model.hp
+    var_names = required_variances(hp)
+    diffusion_type = hp.get("diffusion_type", "ddpm")
+    use_shallow = hp.get("use_shallow_diffusion", False)
+    lambda_aux = hp.get("lambda_aux_mel_loss", 0.2)
+    loss_type = hp.get("main_loss_type", "l2")
+    log_norm = hp.get("main_loss_log_norm", False)
+
+    def loss_fn(params, batch: Dict, rng: jax.Array):
+        kwargs = {}
+        if hp.get("use_spk_id", False):
+            kwargs["spk_embed_id"] = batch["spk_ids"]
+        if hp.get("use_lang_id", False):
+            kwargs["languages"] = batch["languages"]
+        if hp.get("use_key_shift_embed", False):
+            kwargs["key_shift"] = batch["key_shift"]
+        if hp.get("use_speed_embed", False):
+            kwargs["speed"] = batch["speed"]
+        variances = {v: batch[v] for v in var_names}
+        if variances:
+            kwargs["variances"] = variances
+
+        aux_out, diff_out = model.forward_train(
+            params, rng, batch["tokens"], batch["mel2ph"], batch["f0"], batch["mel"], **kwargs
+        )
+        nonpadding = (batch["mel2ph"] > 0).astype(jnp.float32)
+        losses = {}
+        if aux_out is not None:
+            norm_gt = model.spec_transform.norm(batch["mel"])
+            losses["aux_mel_loss"] = lambda_aux * aux_mel_loss(aux_out, norm_gt, nonpadding)
+        pred, target, t = diff_out
+        if diffusion_type == "ddpm":
+            losses["mel_loss"] = diffusion_loss(pred, target, nonpadding, loss_type=loss_type)
+        else:
+            losses["mel_loss"] = reflow_loss(
+                pred, target, t, nonpadding, loss_type=loss_type, log_norm=log_norm
+            )
+        total = sum(losses.values())
+        return total, losses
+
+    return loss_fn

@@ -1,0 +1,86 @@
+"""Train state + optimizer construction from the reference's config keys
+(``optimizer_args``/``lr_scheduler_args``, configs/base.yaml:38-48).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from diffsinger_tpu.training.schedules import build_lr_schedule
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+def build_optimizer(hp: dict):
+    """AdamW (+ grad clip + accumulation) with the configured LR schedule.
+
+    Maps the reference's torch class names (utils/__init__.py:266-314) onto
+    optax; the schedule is a pure fn of step so resume-time re-simulation
+    (basics/base_task.py:500-514) is implicit.
+    """
+    opt_args = hp["optimizer_args"]
+    schedule = build_lr_schedule(
+        hp["lr_scheduler_args"], base_lr=opt_args["lr"], hidden_size=hp.get("hidden_size", 256)
+    )
+    cls = opt_args.get("optimizer_cls", "torch.optim.AdamW").rsplit(".", 1)[-1]
+    common = dict(
+        learning_rate=schedule,
+        b1=opt_args.get("beta1", 0.9),
+        b2=opt_args.get("beta2", 0.98),
+        eps=opt_args.get("eps", 1e-8),
+    )
+    if cls == "AdamW":
+        tx = optax.adamw(weight_decay=opt_args.get("weight_decay", 0.0), **common)
+    elif cls == "Adam":
+        tx = optax.adam(**common)
+    else:
+        raise NotImplementedError(f"Unsupported optimizer: {cls}")
+    chain = []
+    clip = hp.get("clip_grad_norm", 0)
+    if clip:
+        chain.append(optax.clip_by_global_norm(float(clip)))
+    chain.append(tx)
+    tx = optax.chain(*chain)
+    accum = hp.get("accumulate_grad_batches", 1)
+    if accum and accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
+    return tx, schedule
+
+
+def create_train_state(params, tx) -> TrainState:
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params))
+
+
+def make_train_step(loss_fn, tx):
+    """Generic SPMD train step: grads -> update -> new state.
+
+    ``loss_fn(params, batch, rng) -> (loss, metrics)``. Under a Mesh with the
+    batch sharded on 'data' and params replicated, XLA inserts the gradient
+    all-reduce over ICI automatically (no explicit collectives needed).
+    """
+
+    def train_step(state: TrainState, batch, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def wrapped(params):
+            return loss_fn(params, batch, rng)
+
+        (loss, metrics), grads = jax.value_and_grad(wrapped, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = dict(metrics)
+        metrics["total_loss"] = loss
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(step=state.step + 1, params=params, opt_state=opt_state), metrics
+
+    return train_step

@@ -7,14 +7,14 @@ This emulates a TPU pod slice for sharding tests without TPU hardware
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
+# The image's sitecustomize.py (PYTHONPATH=/root/.axon_site) pre-imports jax and
+# registers the 'axon' TPU backend before conftest runs, so env vars are too
+# late — but backends initialize lazily, so jax.config still wins here.
+os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 # Parity tests compare fp32 math against torch; XLA's default matmul/conv
 # precision on CPU introduces ~1e-3 relative error otherwise.
