@@ -1,0 +1,80 @@
+"""Headline benchmark: end-to-end mel frames/sec/chip for the flagship pipeline
+(50-step acoustic sampling + NSF-HiFiGAN vocoder at 44.1 kHz, BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is measured against the 20x-realtime-per-chip target
+(~1723 mel frames/s e2e, BASELINE.md) since the reference publishes no numbers.
+
+Runs on whatever jax.devices() provides (the TPU under axon; CPU elsewhere).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+TARGET_FRAMES_PER_SEC = 44100 / 512 * 20  # 20x realtime @ hop 512
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from diffsinger_tpu.config import load_config
+    from diffsinger_tpu.models.toplevel import DiffSingerAcoustic
+    from diffsinger_tpu.vocoders.nsf_hifigan_model import Generator, NsfHifiGanConfig
+
+    hp = load_config("/root/reference/configs/acoustic.yaml", save_snapshot=False)
+    hp["sampling_steps"] = 50  # headline config: 50-step sampling
+    n_mels = hp["audio_num_mel_bins"]
+
+    model = DiffSingerAcoustic(hp, vocab_size=62, out_dims=n_mels)
+    params = model.init(jax.random.PRNGKey(0))
+
+    voc_cfg = NsfHifiGanConfig(num_mels=n_mels, sampling_rate=hp["audio_sample_rate"],
+                               mini_nsf=True, noise_sigma=0.0)
+    vocoder = Generator(voc_cfg)
+    voc_params = vocoder.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 16, n_mels)), jnp.zeros((1, 16))
+    )
+
+    # ~23.8 s segment: a realistic long .ds segment after bucketing
+    B, T_TXT, T_MEL = 1, 128, 2048
+    rng = np.random.default_rng(0)
+    tokens = jnp.asarray(rng.integers(1, 60, (B, T_TXT)).astype(np.int32))
+    mel2ph = jnp.asarray(
+        np.repeat(np.arange(1, T_TXT + 1), T_MEL // T_TXT)[None].astype(np.int32)
+    )
+    f0 = jnp.asarray(np.full((B, T_MEL), 220.0, np.float32))
+
+    @jax.jit
+    def e2e(params, voc_params, rng, tokens, mel2ph, f0):
+        out = model.forward_infer(params, rng, tokens, mel2ph, f0)
+        wav = vocoder.apply(voc_params, out.diff_out, f0)
+        return wav
+
+    key = jax.random.PRNGKey(2)
+    # compile
+    wav = e2e(params, voc_params, key, tokens, mel2ph, f0)
+    jax.block_until_ready(wav)
+
+    n_iters = 5
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        wav = e2e(params, voc_params, jax.random.fold_in(key, i), tokens, mel2ph, f0)
+    jax.block_until_ready(wav)
+    dt = (time.perf_counter() - t0) / n_iters
+
+    frames_per_sec = B * T_MEL / dt
+    print(json.dumps({
+        "metric": "e2e_mel_frames_per_sec_per_chip_50step_acoustic_plus_nsf_hifigan",
+        "value": round(frames_per_sec, 1),
+        "unit": "mel frames/s",
+        "vs_baseline": round(frames_per_sec / TARGET_FRAMES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
