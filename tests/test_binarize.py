@@ -1,0 +1,146 @@
+"""End-to-end binarization tests on a synthetic mini-corpus: acoustic and
+variance binarizers produce reference-format HDF5 + meta readable by the
+datasets, with augmentation enabled."""
+
+import pickle
+
+import numpy as np
+import pytest
+
+from diffsinger_tpu.config import load_config
+from diffsinger_tpu.utils.infer_utils import save_wav
+
+SR = 44100
+
+
+def _make_corpus(tmp_path, n_items=4):
+    """Synthetic singing corpus: harmonic tones + transcriptions.csv."""
+    raw = tmp_path / "raw"
+    (raw / "wavs").mkdir(parents=True)
+    dict_path = tmp_path / "dict.txt"
+    dict_path.write_text("a\ta\nka\tk a\n")
+    rows = ["name,ph_seq,ph_dur,ph_num,note_seq,note_dur,note_slur"]
+    rng = np.random.default_rng(0)
+    for i in range(n_items):
+        f0 = 180.0 + 40 * i
+        dur = 1.0 + 0.25 * i
+        t = np.arange(int(SR * dur)) / SR
+        y = 0.25 * np.sin(2 * np.pi * f0 * t) + 0.12 * np.sin(2 * np.pi * 2 * f0 * t)
+        y += 0.01 * rng.standard_normal(len(t))
+        save_wav(y.astype(np.float32), raw / "wavs" / f"item{i}.wav", SR)
+        # 4 phonemes: AP k a SP -> words: AP | ka | SP
+        d = dur / 4
+        rows.append(
+            f"item{i},AP k a SP,{d:.4f} {d:.4f} {d:.4f} {d:.4f},1 2 1,"
+            f"rest A3 rest,{2*d:.4f} {d:.4f} {d:.4f},0 0 0"
+        )
+    (raw / "transcriptions.csv").write_text("\n".join(rows) + "\n")
+    return raw, dict_path
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("corpus")
+    return (tmp, *_make_corpus(tmp))
+
+
+def test_acoustic_binarize_and_dataset(corpus):
+    tmp, raw, dict_path = corpus
+    hp = load_config("/root/reference/configs/acoustic.yaml", save_snapshot=False)
+    hp.update(
+        binary_data_dir=str(tmp / "binary_acoustic"),
+        dictionary=str(dict_path),
+        datasets=[{
+            "raw_data_dir": str(raw), "speaker": "synth", "language": "zh",
+            "test_prefixes": ["item0"],
+        }],
+        use_key_shift_embed=True,
+        use_speed_embed=True,
+        use_energy_embed=True,
+        use_breathiness_embed=True,
+        hnsep="comb",
+        num_spk=8,
+        work_dir="",
+    )
+    hp.pop("dictionaries", None)
+    hp["augmentation_args"] = {
+        "random_pitch_shifting": {"enabled": True, "range": [-5.0, 5.0], "scale": 0.5},
+        "fixed_pitch_shifting": {"enabled": False, "targets": [-5.0, 5.0], "scale": 0.5},
+        "random_time_stretching": {"enabled": True, "range": [0.8, 1.25], "scale": 0.5},
+    }
+    hp["binarization_args"] = dict(hp["binarization_args"], shuffle=False, num_workers=0)
+
+    from diffsinger_tpu.data.acoustic_binarizer import AcousticBinarizer
+
+    AcousticBinarizer(hp).process()
+
+    bdir = tmp / "binary_acoustic"
+    assert (bdir / "train.data").exists() and (bdir / "valid.meta").exists()
+    assert (bdir / "phoneme_distribution.jpg").exists()
+    assert (bdir / "spk_map.json").exists()
+
+    with open(bdir / "train.meta", "rb") as f:
+        meta = pickle.load(f)
+    assert len(meta["lengths"]) >= 3  # 3 train items + augmented copies
+
+    from diffsinger_tpu.data.dataset import AcousticDataset
+
+    ds = AcousticDataset(bdir, hp, "train")
+    assert len(ds) == len(meta["lengths"])
+    item = ds[0]
+    t = len(item["mel2ph"])
+    assert item["mel"].shape == (t, hp["audio_num_mel_bins"])
+    assert item["f0"].shape == (t,)
+    assert (item["f0"] > 0).mean() > 0.9  # interp_uv makes f0 dense
+    assert item["energy"].shape == (t,) and item["breathiness"].shape == (t,)
+    batch = ds.collater([ds[i] for i in range(min(3, len(ds)))])
+    assert batch["mel"].shape[0] == min(3, len(ds))
+    assert batch["mel"].shape[1] % 128 == 0  # bucketed
+    # f0 of augmented pitch-shifted copies should differ from originals
+    valid_ds = AcousticDataset(bdir, hp, "valid")
+    assert len(valid_ds) == 1
+
+
+def test_variance_binarize_and_dataset(corpus):
+    tmp, raw, dict_path = corpus
+    hp = load_config("/root/reference/configs/variance.yaml", save_snapshot=False)
+    hp.update(
+        binary_data_dir=str(tmp / "binary_variance"),
+        dictionary=str(dict_path),
+        datasets=[{
+            "raw_data_dir": str(raw), "speaker": "synth", "language": "zh",
+            "test_prefixes": ["item0"],
+        }],
+        predict_energy=True,
+        predict_breathiness=True,
+        hnsep="comb",
+        work_dir="",
+    )
+    hp.pop("dictionaries", None)
+    hp["binarization_args"] = dict(hp["binarization_args"], shuffle=False, num_workers=0)
+
+    from diffsinger_tpu.data.variance_binarizer import VarianceBinarizer
+
+    VarianceBinarizer(hp).process()
+
+    bdir = tmp / "binary_variance"
+    assert (bdir / "midi_distribution.jpg").exists()
+
+    from diffsinger_tpu.data.dataset import VarianceDataset
+
+    ds = VarianceDataset(bdir, hp, "train")
+    item = ds[0]
+    t_ph = len(item["tokens"])
+    assert item["ph_dur"].shape == (t_ph,)
+    assert item["ph2word"].shape == (t_ph,)
+    assert item["ph2word"].tolist() == [1, 2, 2, 3]
+    assert item["midi"].shape == (t_ph,)
+    t = len(item["mel2ph"])
+    assert item["base_pitch"].shape == (t,)
+    assert item["pitch"].shape == (t,)
+    # the sung note is A3 = 220 Hz = midi 57; extracted pitch should be close
+    sung = item["pitch"][(item["mel2note"] == 2)]
+    assert np.abs(np.median(sung) - 57) < 1.0
+    batch = ds.collater([ds[0], ds[1]])
+    assert batch["tokens"].shape[0] == 2
+    assert {"note_midi", "mel2note", "base_pitch", "energy", "breathiness"} <= set(batch)
