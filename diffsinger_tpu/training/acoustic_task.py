@@ -19,6 +19,38 @@ def required_variances(hp: dict) -> list:
     return [v for v in VARIANCE_CHECKLIST if hp.get(f"use_{v}_embed", False)]
 
 
+class AcousticTask:
+    """Acoustic training task; see diffsinger_tpu.training.base_task.BaseTask."""
+
+    category = "acoustic"
+
+    def __new__(cls, hp: dict):
+        from diffsinger_tpu.data.dataset import AcousticDataset
+        from diffsinger_tpu.training.base_task import BaseTask
+
+        class _Task(BaseTask):
+            category = "acoustic"
+
+            def build_model(self):
+                return DiffSingerAcoustic(
+                    self.hp,
+                    vocab_size=len(self.phoneme_dictionary),
+                    out_dims=self.hp["audio_num_mel_bins"],
+                )
+
+            def build_loss_fn(self):
+                return make_acoustic_loss_fn(self.model)
+
+            def build_datasets(self):
+                d = self.hp["binary_data_dir"]
+                return (
+                    AcousticDataset(d, self.hp, "train"),
+                    AcousticDataset(d, self.hp, "valid"),
+                )
+
+        return _Task(hp)
+
+
 def make_acoustic_loss_fn(model: DiffSingerAcoustic):
     """loss_fn(params, batch, rng) -> (loss, metrics) for the acoustic model
     (run_model semantics, acoustic_task.py:119-169)."""

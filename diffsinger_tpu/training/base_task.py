@@ -1,0 +1,291 @@
+"""Training runtime (reference basics/base_task.py + utils/training_utils.py).
+
+Responsibilities preserved: step-based val intervals, log_interval scalars,
+max_updates stop, checkpoint save/rotation with permanent checkpoints,
+auto-resume (params + optimizer state + step), finetune param loading with
+blacklist/shape filtering, prefix-based param freezing, per-epoch deterministic
+batch sampling, TensorBoard logging.
+
+TPU re-design: one jitted SPMD train step per shape bucket over a
+``Mesh(('data','model'))``; gradient all-reduce is XLA-inserted (no DDP
+machinery); "16-mixed" precision maps to bf16 compute with fp32 params.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from diffsinger_tpu.data.batch_sampler import DsBatchSampler
+from diffsinger_tpu.parallel.mesh import batch_sharding, create_mesh, replicated_sharding
+from diffsinger_tpu.training.train_state import (
+    TrainState, build_optimizer, create_train_state, make_train_step,
+)
+from diffsinger_tpu.utils import ckpt as ckpt_utils
+from diffsinger_tpu.utils.text import load_phoneme_dictionary
+
+
+class SummaryLogger:
+    """tensorboardX writer with a JSONL fallback."""
+
+    def __init__(self, log_dir):
+        self.log_dir = pathlib.Path(log_dir)
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+        try:
+            from tensorboardX import SummaryWriter
+
+            self.writer = SummaryWriter(str(self.log_dir))
+        except Exception:
+            self.writer = None
+        self.jsonl = open(self.log_dir / "metrics.jsonl", "a")
+
+    def add_scalar(self, tag, value, step):
+        if self.writer is not None:
+            self.writer.add_scalar(tag, value, step)
+        import json
+
+        self.jsonl.write(json.dumps({"step": int(step), tag: float(value)}) + "\n")
+
+    def add_figure(self, tag, fig, step):
+        if self.writer is not None:
+            self.writer.add_figure(tag, fig, step)
+
+    def add_audio(self, tag, audio, step, sample_rate):
+        if self.writer is not None:
+            self.writer.add_audio(tag, audio[:, None], step, sample_rate=sample_rate)
+
+    def flush(self):
+        if self.writer is not None:
+            self.writer.flush()
+        self.jsonl.flush()
+
+
+def filter_finetune_params(template, loaded_state: Dict, ignored_prefixes, strict_shapes=True):
+    """Shape-adaptive finetune param filtering (basics/base_task.py:113-165)."""
+    from flax import serialization, traverse_util
+
+    flat_t = traverse_util.flatten_dict(serialization.to_state_dict(template), sep="/")
+    flat_l = traverse_util.flatten_dict(loaded_state, sep="/")
+    out = dict(flat_t)
+    skipped = []
+    for k, v in flat_l.items():
+        path = k.replace("/", ".")
+        if any(path.startswith(p) or p in path for p in ignored_prefixes):
+            skipped.append(k)
+            continue
+        if k in flat_t:
+            if np.shape(flat_t[k]) == np.shape(v):
+                out[k] = v
+            elif strict_shapes:
+                raise ValueError(f"Shape mismatch for finetune param {k}: "
+                                 f"{np.shape(v)} vs {np.shape(flat_t[k])}")
+            else:
+                skipped.append(k)
+    if skipped:
+        print(f"| finetune: skipped {len(skipped)} params")
+    rebuilt = traverse_util.unflatten_dict({tuple(k.split("/")): v for k, v in out.items()})
+    return serialization.from_state_dict(template, rebuilt)
+
+
+def make_freeze_mask(params, frozen_prefixes):
+    """Pytree of bools: True where the param path matches a frozen prefix
+    (basics/base_task.py:92-111)."""
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(params, sep="/")
+    mask = {
+        k: any(k.replace("/", ".").startswith(p.replace("model.", "")) for p in frozen_prefixes)
+        for k in flat
+    }
+    return traverse_util.unflatten_dict({tuple(k.split("/")): v for k, v in mask.items()})
+
+
+class BaseTask:
+    """Generic training driver; subclasses provide model/loss/dataset."""
+
+    category: str = "base"
+
+    def __init__(self, hp: dict):
+        self.hp = hp
+        self.work_dir = pathlib.Path(hp["work_dir"] or ".")
+        self.phoneme_dictionary = load_phoneme_dictionary(hp)
+        self.model = self.build_model()
+        self.loss_fn = self.build_loss_fn()
+        self.mesh = create_mesh()
+        self.logger = SummaryLogger(self.work_dir / "lightning_logs" / "tb")
+
+    # -- subclass contract (reference basics/base_task.py:49-56) --------
+    def build_model(self):
+        raise NotImplementedError()
+
+    def build_loss_fn(self):
+        raise NotImplementedError()
+
+    def build_datasets(self):
+        raise NotImplementedError()
+
+    def validation_extras(self, state, valid_ds, batch, metrics):
+        """Hook for task-specific validation metrics/plots."""
+
+    # ------------------------------------------------------------------
+    def _init_or_resume(self, tx):
+        hp = self.hp
+        rng = jax.random.PRNGKey(hp.get("seed", 0) if hp.get("seed") is not None else 0)
+        params = self.model.init(rng)
+        latest = ckpt_utils.get_latest_checkpoint_path(self.work_dir)
+        if latest is not None:
+            blob = ckpt_utils.load_checkpoint(latest, expected_category=self.category)
+            params = ckpt_utils.restore_params(params, blob["params"])
+            state = create_train_state(params, tx)
+            if "opt_state" in blob:
+                try:
+                    state = state.replace(
+                        opt_state=ckpt_utils.restore_params(state.opt_state, blob["opt_state"])
+                    )
+                except Exception as e:
+                    print(f"| optimizer state not restored ({e}); reinitialized "
+                          f"(LR schedule re-evaluates from the global step)")
+            import jax.numpy as jnp
+
+            state = state.replace(step=jnp.asarray(blob["meta"]["global_step"], jnp.int32))
+            print(f"| resumed from {latest} at step {blob['meta']['global_step']}")
+            return state
+        if hp.get("finetune_enabled", False) and hp.get("finetune_ckpt_path"):
+            blob = ckpt_utils.load_checkpoint(hp["finetune_ckpt_path"])
+            params = filter_finetune_params(
+                params, blob["params"],
+                hp.get("finetune_ignored_params", []),
+                strict_shapes=hp.get("finetune_strict_shapes", True),
+            )
+            print(f"| finetune from {hp['finetune_ckpt_path']}")
+        return create_train_state(params, tx)
+
+    def _save(self, state: TrainState):
+        hp = self.hp
+        step = int(state.step)
+        path = ckpt_utils.checkpoint_path(self.work_dir, step)
+        ckpt_utils.save_checkpoint(
+            path, jax.device_get(state.params), category=self.category,
+            global_step=step, opt_state=jax.device_get(state.opt_state),
+        )
+        deleted = ckpt_utils.keep_checkpoints(
+            self.work_dir,
+            num_ckpt_keep=hp.get("num_ckpt_keep", 5),
+            permanent_ckpt_start=hp.get("permanent_ckpt_start", 0),
+            permanent_ckpt_interval=hp.get("permanent_ckpt_interval", -1),
+        )
+        print(f"| saved checkpoint at step {step}"
+              + (f" (rotated {len(deleted)})" if deleted else ""))
+
+    # ------------------------------------------------------------------
+    def start(self, max_steps: Optional[int] = None):
+        hp = self.hp
+        tx, schedule = build_optimizer(hp)
+        if hp.get("freezing_enabled", False) and hp.get("frozen_params"):
+            import optax
+
+            mask = make_freeze_mask(
+                self.model.init(jax.random.PRNGKey(0)), hp["frozen_params"]
+            )
+            tx = optax.chain(
+                optax.masked(optax.set_to_zero(), mask), tx
+            )
+        state = self._init_or_resume(tx)
+        state = jax.device_put(state, replicated_sharding(self.mesh))
+        train_step = make_train_step(self.loss_fn, tx)
+        jitted: Dict = {}
+
+        train_ds, valid_ds = self.build_datasets()
+        num_replicas = self.mesh.devices.shape[0]
+        max_updates = max_steps if max_steps is not None else hp.get("max_updates", 160000)
+        val_interval = hp.get("val_check_interval", 2000)
+        log_interval = hp.get("log_interval", 100)
+        rng = jax.random.PRNGKey(hp.get("seed") or 0)
+        bsh = batch_sharding(self.mesh)
+
+        step = int(state.step)
+        epoch = 0
+        t_last = time.time()
+        while step < max_updates:
+            sampler = DsBatchSampler(
+                train_ds.sizes,
+                max_batch_frames=hp.get("max_batch_frames", 50000),
+                max_batch_size=hp.get("max_batch_size", 64),
+                num_replicas=1,  # single-host: whole batch sharded over the mesh
+                rank=0,
+                frame_count_grid=hp.get("sampler_frame_count_grid", 6),
+                required_batch_count_multiple=hp.get("accumulate_grad_batches", 1),
+                shuffle_sample=True,
+                shuffle_batch=True,
+                seed=hp.get("seed") or 0,
+            )
+            sampler.set_epoch(epoch)
+            for indices in sampler:
+                if not indices:
+                    continue
+                batch = train_ds.collater([train_ds[i] for i in indices])
+                batch.pop("indices", None)
+                size = batch.pop("size")
+                if size % num_replicas != 0:
+                    # pad batch to a replica multiple by repeating the last item
+                    pad_n = num_replicas - size % num_replicas
+                    for k, v in batch.items():
+                        if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == size:
+                            batch[k] = np.concatenate([v, np.repeat(v[-1:], pad_n, 0)], 0)
+                batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+
+                key = tuple(sorted((k, v.shape) for k, v in batch.items()))
+                if key not in jitted:
+                    jitted[key] = jax.jit(train_step, donate_argnums=0)
+                with self.mesh:
+                    state, metrics = jitted[key](state, batch, rng)
+                step = int(state.step)
+
+                if step % log_interval == 0:
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    lr = schedule(step)
+                    dt = time.time() - t_last
+                    t_last = time.time()
+                    self.logger.add_scalar("training/lr", lr, step)
+                    for k, v in metrics.items():
+                        self.logger.add_scalar(f"training/{k}", v, step)
+                    print(f"| step {step} " +
+                          " ".join(f"{k}={v:.4f}" for k, v in metrics.items()) +
+                          f" lr={lr:.2e} ({log_interval / max(dt, 1e-9):.2f} it/s)")
+
+                if step % val_interval == 0:
+                    self.run_validation(state, valid_ds)
+                    self._save(state)
+                if step >= max_updates:
+                    break
+            epoch += 1
+        self.run_validation(state, valid_ds)
+        self._save(state)
+        self.logger.flush()
+        return state
+
+    def run_validation(self, state: TrainState, valid_ds):
+        hp = self.hp
+        rng = jax.random.PRNGKey(42)
+        losses_acc: Dict[str, list] = {}
+        n = len(valid_ds)
+        for i in range(0, n, max(1, hp.get("max_val_batch_size", 1))):
+            idxs = list(range(i, min(n, i + max(1, hp.get("max_val_batch_size", 1)))))
+            batch = valid_ds.collater([valid_ds[j] for j in idxs])
+            batch.pop("indices", None)
+            batch.pop("size", None)
+            jb = {k: v for k, v in batch.items()}
+            _, metrics = self.loss_fn(state.params, jb, rng)
+            for k, v in metrics.items():
+                losses_acc.setdefault(k, []).append(float(v))
+            self.validation_extras(state, valid_ds, {"indices": idxs, **batch}, losses_acc)
+        step = int(state.step)
+        for k, vals in losses_acc.items():
+            self.logger.add_scalar(f"validation/{k}", float(np.mean(vals)), step)
+        print(f"| validation @ {step}: " +
+              " ".join(f"{k}={np.mean(v):.4f}" for k, v in losses_acc.items()))
+        self.logger.flush()

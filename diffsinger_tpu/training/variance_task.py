@@ -33,6 +33,34 @@ def random_retake_masks(rng: jax.Array, b: int, t: int) -> jnp.ndarray:
     return b_masks | t_masks
 
 
+class VarianceTask:
+    """Variance training task; see diffsinger_tpu.training.base_task.BaseTask."""
+
+    category = "variance"
+
+    def __new__(cls, hp: dict):
+        from diffsinger_tpu.data.dataset import VarianceDataset
+        from diffsinger_tpu.training.base_task import BaseTask
+
+        class _Task(BaseTask):
+            category = "variance"
+
+            def build_model(self):
+                return DiffSingerVariance(self.hp, vocab_size=len(self.phoneme_dictionary))
+
+            def build_loss_fn(self):
+                return make_variance_loss_fn(self.model)
+
+            def build_datasets(self):
+                d = self.hp["binary_data_dir"]
+                return (
+                    VarianceDataset(d, self.hp, "train"),
+                    VarianceDataset(d, self.hp, "valid"),
+                )
+
+        return _Task(hp)
+
+
 def make_variance_loss_fn(model: DiffSingerVariance):
     """loss_fn(params, batch, rng) -> (loss, metrics)
     (run_model semantics, variance_task.py:162-249)."""
