@@ -44,12 +44,28 @@ def mel_to_hz_slaney(m: np.ndarray) -> np.ndarray:
     return np.where(m >= min_log_mel, min_log_hz * np.exp(logstep * (m - min_log_mel)), freqs)
 
 
-def mel_filterbank(sr: int, n_fft: int, n_mels: int, fmin: float, fmax: float) -> np.ndarray:
-    """Slaney-scale, Slaney-normalized triangular filterbank, identical to
-    ``librosa.filters.mel(sr, n_fft, n_mels, fmin, fmax)``. Returns [n_mels, n_fft//2+1]."""
+def hz_to_mel_htk(f: np.ndarray) -> np.ndarray:
+    return 2595.0 * np.log10(1.0 + np.asarray(f, dtype=np.float64) / 700.0)
+
+
+def mel_to_hz_htk(m: np.ndarray) -> np.ndarray:
+    return 700.0 * (10.0 ** (np.asarray(m, dtype=np.float64) / 2595.0) - 1.0)
+
+
+def mel_filterbank(sr: int, n_fft: int, n_mels: int, fmin: float, fmax: float,
+                   htk: bool = False) -> np.ndarray:
+    """Slaney-normalized triangular filterbank, identical to
+    ``librosa.filters.mel(sr, n_fft, n_mels, fmin, fmax, htk=htk)``.
+    Returns [n_mels, n_fft//2+1]."""
+    if fmax is None:
+        fmax = sr / 2.0
     fft_freqs = np.linspace(0.0, sr / 2.0, n_fft // 2 + 1)
-    mel_pts = np.linspace(hz_to_mel_slaney(fmin), hz_to_mel_slaney(fmax), n_mels + 2)
-    hz_pts = mel_to_hz_slaney(mel_pts)
+    if htk:
+        mel_pts = np.linspace(hz_to_mel_htk(fmin), hz_to_mel_htk(fmax), n_mels + 2)
+        hz_pts = mel_to_hz_htk(mel_pts)
+    else:
+        mel_pts = np.linspace(hz_to_mel_slaney(fmin), hz_to_mel_slaney(fmax), n_mels + 2)
+        hz_pts = mel_to_hz_slaney(mel_pts)
 
     fdiff = np.diff(hz_pts)
     ramps = hz_pts[:, None] - fft_freqs[None, :]
