@@ -1,0 +1,257 @@
+"""Deployment exporters (reference deployment/exporters/*, basics/base_exporter.py).
+
+The reference ships ONNX graphs for OpenUTAU. The TPU-native deployment format
+here is **StableHLO** via ``jax.export``: each exported sub-model view is a
+serialized, portable, shape-polymorphic-free artifact runnable by any PJRT
+runtime (TPU/CPU/GPU), with the same sub-model decomposition as the reference:
+
+* acoustic: ``fs2_aux`` (encoder + aux draft) and ``diffusion`` (full sampler at
+  a fixed step count) views (deployment/modules/toplevel.py:20-55);
+* variance: linguistic / dur / pitch / variance views
+  (deployment/exporters/variance_exporter.py:190-624);
+* vocoder: mel+f0 -> waveform.
+
+Attachments keep the reference's ecosystem contract: ``dsconfig.yaml`` manifest,
+``phonemes.json``, per-speaker ``.emb`` files, dictionaries
+(acoustic_exporter.py:117-…).
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import shutil
+from typing import Optional
+
+import numpy as np
+import yaml
+
+
+class BaseExporter:
+    def __init__(self, hparams: dict, export_dir: pathlib.Path):
+        self.hparams = hparams
+        self.export_dir = pathlib.Path(export_dir)
+        self.export_dir.mkdir(parents=True, exist_ok=True)
+
+    def export(self):
+        self.export_model()
+        self.export_attachments()
+
+    def export_model(self):
+        raise NotImplementedError()
+
+    def export_attachments(self):
+        raise NotImplementedError()
+
+    # ------------------------------------------------------------------
+    def _serialize(self, fn, args, path: pathlib.Path):
+        import jax
+        from jax import export as jexport
+
+        exp = jexport.export(jax.jit(fn))(*args)
+        path.write_bytes(exp.serialize())
+        print(f"| export: {path} ({path.stat().st_size / 1e6:.2f} MB)")
+
+    def _export_dictionaries(self):
+        hp = self.hparams
+        for lang, dict_path in (hp.get("dictionaries") or {}).items():
+            shutil.copy(dict_path, self.export_dir / f"dictionary-{lang}.txt")
+        if hp.get("dictionary"):
+            shutil.copy(hp["dictionary"], self.export_dir / "dictionary.txt")
+
+    def _export_phonemes(self, phoneme_dictionary):
+        path = self.export_dir / "phonemes.json"
+        phoneme_dictionary.dump(path)
+        print(f"| export: {path}")
+
+    def _export_spk_embeds(self, params, table_path: tuple, spk_map: dict):
+        node = params["params"]
+        for part in table_path:
+            if part not in node:
+                return
+            node = node[part]
+        table = np.asarray(node)
+        for name, idx in spk_map.items():
+            emb_path = self.export_dir / f"{name}.emb"
+            np.asarray(table[idx], dtype=np.float32).tofile(emb_path)
+            print(f"| export speaker: {emb_path}")
+
+
+class DiffSingerAcousticExporter(BaseExporter):
+    def __init__(self, hparams, export_dir, ckpt_steps: Optional[int] = None,
+                 expose_gender=False, expose_velocity=False, freeze_spk=None):
+        super().__init__(hparams, export_dir)
+        from diffsinger_tpu.inference.ds_acoustic import DiffSingerAcousticInfer
+
+        self.infer = DiffSingerAcousticInfer(hparams, load_vocoder=False, ckpt_steps=ckpt_steps)
+        self.model = self.infer.model
+        self.params = self.infer.params
+
+    def export_model(self):
+        import jax
+        import jax.numpy as jnp
+
+        hp = self.hparams
+        model = self.model
+        t_txt, t_mel = 64, 512  # representative bucket; re-export per bucket set
+        tokens = jnp.zeros((1, t_txt), jnp.int32)
+        mel2ph = jnp.zeros((1, t_mel), jnp.int32)
+        f0 = jnp.full((1, t_mel), 220.0, jnp.float32)
+
+        def fs2_aux(params, tokens, mel2ph, f0):
+            cond = model.module.apply(params, tokens, mel2ph, f0, method="encode")
+            aux = None
+            if model.use_shallow_diffusion:
+                aux = model.module.apply(params, cond, infer=True, method="aux")
+            return cond, aux
+
+        self._serialize(fs2_aux, (self.params, tokens, mel2ph, f0),
+                        self.export_dir / f"{hp['exp_name'] or 'acoustic'}.fs2_aux.stablehlo")
+
+        steps = hp.get("sampling_steps", 20)
+
+        def sampler(params, rng, tokens, mel2ph, f0):
+            out = model.forward_infer(params, rng, tokens, mel2ph, f0, steps=steps)
+            return out.diff_out
+
+        self._serialize(
+            sampler, (self.params, jax.random.PRNGKey(0), tokens, mel2ph, f0),
+            self.export_dir / f"{hp['exp_name'] or 'acoustic'}.diffusion.stablehlo",
+        )
+
+    def export_attachments(self):
+        hp = self.hparams
+        manifest = {
+            "flavor": "stablehlo",
+            "acoustic": f"{hp['exp_name'] or 'acoustic'}.diffusion.stablehlo",
+            "vocoder": hp.get("vocoder", "NsfHifiGAN"),
+            "phonemes": "phonemes.json",
+            "hidden_size": hp["hidden_size"],
+            "mel_base": str(hp.get("mel_base", "e")),
+            "sample_rate": hp["audio_sample_rate"],
+            "hop_size": hp["hop_size"],
+            "win_size": hp["win_size"],
+            "fft_size": hp["fft_size"],
+            "num_mel_bins": hp["audio_num_mel_bins"],
+            "mel_fmin": hp["fmin"],
+            "mel_fmax": hp["fmax"],
+            "use_key_shift_embed": hp.get("use_key_shift_embed", False),
+            "use_speed_embed": hp.get("use_speed_embed", False),
+            "use_shallow_diffusion": hp.get("use_shallow_diffusion", False),
+            "max_depth": hp.get("K_step_infer", hp.get("K_step", 1000)),
+            "speakers": sorted(self.infer.spk_map) if self.infer.spk_map else [],
+        }
+        with open(self.export_dir / "dsconfig.yaml", "w") as f:
+            yaml.safe_dump(manifest, f)
+        print(f"| export: {self.export_dir / 'dsconfig.yaml'}")
+        self._export_phonemes(self.infer.phoneme_dictionary)
+        self._export_dictionaries()
+        if self.infer.spk_map:
+            self._export_spk_embeds(self.params, ("fs2", "spk_embed", "embedding"), self.infer.spk_map)
+
+
+class DiffSingerVarianceExporter(BaseExporter):
+    def __init__(self, hparams, export_dir, ckpt_steps: Optional[int] = None):
+        super().__init__(hparams, export_dir)
+        from diffsinger_tpu.inference.ds_variance import DiffSingerVarianceInfer
+
+        self.infer = DiffSingerVarianceInfer(hparams, ckpt_steps=ckpt_steps, predictions=set())
+        self.model = self.infer.model
+        self.params = self.infer.params
+
+    def export_model(self):
+        import jax
+        import jax.numpy as jnp
+
+        hp = self.hparams
+        model = self.model
+        name = hp["exp_name"] or "variance"
+        t_ph, t_mel = 64, 512
+        tokens = jnp.zeros((1, t_ph), jnp.int32)
+        midi = jnp.zeros((1, t_ph), jnp.int32)
+        ph2word = jnp.zeros((1, t_ph), jnp.int32)
+        ph_dur = jnp.ones((1, t_ph), jnp.float32)
+        word_dur = jnp.ones((1, t_ph), jnp.float32)
+        base_pitch = jnp.full((1, t_mel), 60.0, jnp.float32)
+
+        # linguistic + duration view (encoder + dur predictor)
+        def linguistic_dur(params, tokens, midi, ph2word, word_dur):
+            enc, dur = model.module.apply(
+                params, tokens, midi, ph2word, word_dur=word_dur, infer=True, method="encode"
+            )
+            return enc, dur
+
+        self._serialize(linguistic_dur, (self.params, tokens, midi, ph2word, word_dur),
+                        self.export_dir / f"{name}.linguistic_dur.stablehlo")
+
+        # pitch / variance predictors as full sampler views
+        if model.predict_pitch:
+            mel2ph = jnp.ones((1, t_mel), jnp.int32)
+
+            def pitch_view(params, rng, tokens, midi, ph2word, ph_dur, mel2ph, base_pitch):
+                dur_pred, pitch_pred, _ = model.forward_infer(
+                    params, rng, tokens, midi, ph2word, base_pitch,
+                    ph_dur=ph_dur, mel2ph=mel2ph, predict_variances=False,
+                )
+                return pitch_pred
+
+            self._serialize(
+                pitch_view,
+                (self.params, jax.random.PRNGKey(0), tokens, midi, ph2word, ph_dur,
+                 mel2ph, base_pitch),
+                self.export_dir / f"{name}.pitch.stablehlo",
+            )
+
+    def export_attachments(self):
+        hp = self.hparams
+        manifest = {
+            "flavor": "stablehlo",
+            "linguistic": f"{hp['exp_name'] or 'variance'}.linguistic_dur.stablehlo",
+            "phonemes": "phonemes.json",
+            "hidden_size": hp["hidden_size"],
+            "predict_dur": hp["predict_dur"],
+            "predict_pitch": hp["predict_pitch"],
+            "sample_rate": hp["audio_sample_rate"],
+            "hop_size": hp["hop_size"],
+            "speakers": sorted(self.infer.spk_map) if self.infer.spk_map else [],
+        }
+        with open(self.export_dir / "dsconfig.yaml", "w") as f:
+            yaml.safe_dump(manifest, f)
+        self._export_phonemes(self.infer.phoneme_dictionary)
+        self._export_dictionaries()
+        if self.infer.spk_map:
+            self._export_spk_embeds(self.params, ("spk_embed", "embedding"), self.infer.spk_map)
+
+
+class NSFHiFiGANExporter(BaseExporter):
+    def __init__(self, hparams, export_dir):
+        super().__init__(hparams, export_dir)
+        from diffsinger_tpu.vocoders.nsf_hifigan import NsfHifiGAN
+
+        self.vocoder = NsfHifiGAN(hparams)
+
+    def export_model(self):
+        import jax.numpy as jnp
+
+        t_mel = 512
+        mel = jnp.zeros((1, t_mel, self.vocoder.config.num_mels), jnp.float32)
+        f0 = jnp.full((1, t_mel), 220.0, jnp.float32)
+
+        def voc(params, mel, f0):
+            return self.vocoder.model.apply(params, mel, f0)
+
+        self._serialize(voc, (self.vocoder.params, mel, f0),
+                        self.export_dir / "nsf_hifigan.stablehlo")
+
+    def export_attachments(self):
+        cfg = self.vocoder.config
+        manifest = {
+            "flavor": "stablehlo",
+            "model": "nsf_hifigan.stablehlo",
+            "sample_rate": cfg.sampling_rate,
+            "hop_size": cfg.hop_size,
+            "num_mel_bins": cfg.num_mels,
+            "mel_base": "e",
+        }
+        with open(self.export_dir / "vocoder.yaml", "w") as f:
+            yaml.safe_dump(manifest, f)

@@ -1,0 +1,65 @@
+"""Deployment export tests: StableHLO artifacts round-trip through
+jax.export.deserialize and produce the same outputs as the live model."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.test_e2e_infer import TINY_COMMON, _make_exp
+
+
+def test_acoustic_export_roundtrip(tmp_path):
+    hp = _make_exp(
+        tmp_path, "/root/reference/configs/acoustic.yaml",
+        dict(
+            TINY_COMMON,
+            audio_num_mel_bins=16,
+            backbone_args=dict(num_channels=32, num_layers=1, kernel_size=7,
+                               dropout_rate=0.0, strong_cond=True),
+            shallow_diffusion_args=dict(
+                train_aux_decoder=True, train_diffusion=True, val_gt_start=False,
+                aux_decoder_arch="convnext",
+                aux_decoder_args=dict(num_channels=16, num_layers=1, kernel_size=7,
+                                      dropout_rate=0.1),
+                aux_decoder_grad=0.1,
+            ),
+        ),
+        "tiny_export",
+    )
+    hp["infer"] = True
+
+    from diffsinger_tpu.models.toplevel import DiffSingerAcoustic
+    from diffsinger_tpu.utils.ckpt import checkpoint_path, save_checkpoint
+    from diffsinger_tpu.utils.text import load_phoneme_dictionary
+
+    vocab = len(load_phoneme_dictionary(hp))
+    model = DiffSingerAcoustic(hp, vocab_size=vocab, out_dims=16)
+    params = model.init(jax.random.PRNGKey(0))
+    save_checkpoint(checkpoint_path(hp["work_dir"], 100), params,
+                    category="acoustic", global_step=100)
+
+    from diffsinger_tpu.deployment.exporters import DiffSingerAcousticExporter
+
+    out_dir = tmp_path / "artifacts"
+    exporter = DiffSingerAcousticExporter(hp, out_dir)
+    exporter.export()
+
+    assert (out_dir / "dsconfig.yaml").exists()
+    assert (out_dir / "phonemes.json").exists()
+    sampler_path = next(out_dir.glob("*.diffusion.stablehlo"))
+
+    from jax import export as jexport
+
+    exp = jexport.deserialize(sampler_path.read_bytes())
+    tokens = jnp.zeros((1, 64), jnp.int32).at[0, :10].set(jnp.arange(1, 11))
+    mel2ph = jnp.zeros((1, 512), jnp.int32).at[0, :500].set(jnp.repeat(jnp.arange(1, 11), 50))
+    f0 = jnp.full((1, 512), 220.0, jnp.float32)
+    rng = jax.random.PRNGKey(7)
+    mel_exported = exp.call(exporter.params, rng, tokens, mel2ph, f0)
+    mel_live = exporter.model.forward_infer(
+        exporter.params, rng, tokens, mel2ph, f0, steps=hp["sampling_steps"]
+    ).diff_out
+    np.testing.assert_allclose(np.asarray(mel_exported), np.asarray(mel_live),
+                               atol=1e-4, rtol=1e-4)
