@@ -26,16 +26,19 @@ def main():
     from diffsinger_tpu.models.toplevel import DiffSingerAcoustic
     from diffsinger_tpu.vocoders.nsf_hifigan_model import Generator, NsfHifiGanConfig
 
+    import os
+
     hp = load_config("/root/reference/configs/acoustic.yaml", save_snapshot=False)
     hp["sampling_steps"] = 50  # headline config: 50-step sampling
     n_mels = hp["audio_num_mel_bins"]
+    dtype = {"bf16": jnp.bfloat16, "f32": None}[os.environ.get("DS_BENCH_DTYPE", "bf16")]
 
-    model = DiffSingerAcoustic(hp, vocab_size=62, out_dims=n_mels)
+    model = DiffSingerAcoustic(hp, vocab_size=62, out_dims=n_mels, dtype=dtype)
     params = model.init(jax.random.PRNGKey(0))
 
     voc_cfg = NsfHifiGanConfig(num_mels=n_mels, sampling_rate=hp["audio_sample_rate"],
                                mini_nsf=True, noise_sigma=0.0)
-    vocoder = Generator(voc_cfg)
+    vocoder = Generator(voc_cfg, dtype=dtype)
     voc_params = vocoder.init(
         jax.random.PRNGKey(1), jnp.zeros((1, 16, n_mels)), jnp.zeros((1, 16))
     )
