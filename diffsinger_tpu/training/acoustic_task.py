@@ -48,6 +48,63 @@ class AcousticTask:
                     AcousticDataset(d, self.hp, "valid"),
                 )
 
+            def validation_extras(self, state, valid_ds, batch, metrics):
+                """Mel figures + vocoded audio for the first num_valid_plots items
+                (reference training/acoustic_task.py:179-242)."""
+                import jax as _jax
+                import numpy as _np
+
+                hp = self.hp
+                indices = batch.get("indices", [])
+                if not any(i < hp.get("num_valid_plots", 10) for i in indices):
+                    return
+                out = self.model.forward_infer(
+                    state.params, _jax.random.PRNGKey(0),
+                    batch["tokens"], batch["mel2ph"], batch["f0"],
+                    gt_mel=batch["mel"],
+                )
+                if not hasattr(self, "_vocoder"):
+                    self._vocoder = None
+                    if hp.get("val_with_vocoder", False):
+                        try:
+                            from diffsinger_tpu.vocoders.registry import get_vocoder_cls
+
+                            self._vocoder = get_vocoder_cls(hp)(hp)
+                        except Exception as e:
+                            print(f"| validation vocoder unavailable: {e}")
+                from diffsinger_tpu.utils.plot import spec_to_figure
+
+                step = int(state.step)
+                for j, data_idx in enumerate(indices):
+                    if data_idx >= hp.get("num_valid_plots", 10):
+                        continue
+                    mel_len = valid_ds.metadata["mel"][data_idx]
+                    gt = _np.asarray(batch["mel"][j][:mel_len])
+                    pred = _np.asarray(out.diff_out[j][:mel_len])
+                    spec_cat = _np.concatenate(
+                        [_np.abs(pred - gt) + hp.get("mel_vmin", -14), gt, pred], axis=-1
+                    )
+                    self.logger.add_figure(
+                        f"diffmel_{data_idx}",
+                        spec_to_figure(spec_cat, hp.get("mel_vmin", -14), hp.get("mel_vmax", 4)),
+                        step,
+                    )
+                    if out.aux_out is not None:
+                        aux = _np.asarray(out.aux_out[j][:mel_len])
+                        self.logger.add_figure(
+                            f"auxmel_{data_idx}",
+                            spec_to_figure(
+                                _np.concatenate([_np.abs(aux - gt) + hp.get("mel_vmin", -14), gt, aux], -1),
+                                hp.get("mel_vmin", -14), hp.get("mel_vmax", 4),
+                            ),
+                            step,
+                        )
+                    if self._vocoder is not None:
+                        f0 = _np.asarray(batch["f0"][j][:mel_len])
+                        wav = self._vocoder.spec2wav(pred, f0=f0)
+                        self.logger.add_audio(f"diff_{data_idx}", wav, step,
+                                              hp["audio_sample_rate"])
+
         return _Task(hp)
 
 

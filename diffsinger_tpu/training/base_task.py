@@ -56,7 +56,17 @@ class SummaryLogger:
 
     def add_audio(self, tag, audio, step, sample_rate):
         if self.writer is not None:
-            self.writer.add_audio(tag, audio[:, None], step, sample_rate=sample_rate)
+            try:
+                self.writer.add_audio(tag, audio[:, None], step, sample_rate=sample_rate)
+            except ModuleNotFoundError:
+                # tensorboardX audio needs soundfile; fall back to wav files
+                import pathlib
+
+                from diffsinger_tpu.utils.infer_utils import save_wav
+
+                wav_dir = pathlib.Path(self.log_dir) / "audio"
+                wav_dir.mkdir(exist_ok=True)
+                save_wav(audio, wav_dir / f"{tag}_step{step}.wav", sample_rate)
 
     def flush(self):
         if self.writer is not None:
@@ -272,6 +282,7 @@ class BaseTask:
         hp = self.hp
         rng = jax.random.PRNGKey(42)
         losses_acc: Dict[str, list] = {}
+        self._metric_states = {}  # streaming metric accumulators reset per run
         n = len(valid_ds)
         for i in range(0, n, max(1, hp.get("max_val_batch_size", 1))):
             idxs = list(range(i, min(n, i + max(1, hp.get("max_val_batch_size", 1)))))

@@ -58,6 +58,95 @@ class VarianceTask:
                     VarianceDataset(d, self.hp, "valid"),
                 )
 
+            def validation_extras(self, state, valid_ds, batch, metrics):
+                """Objective metrics + dur/pitch/curve figures
+                (reference training/variance_task.py:251-337)."""
+                import jax as _jax
+                import jax.numpy as _jnp
+                import numpy as _np
+
+                from diffsinger_tpu.models.metrics import (
+                    MetricState, PhonemeDurationAccuracy, R2State, RawCurveAccuracy,
+                    RawCurveR2Score, RhythmCorrectness,
+                )
+                from diffsinger_tpu.utils.plot import curve_to_figure, dur_to_figure, pitch_note_to_figure
+
+                hp = self.hp
+                indices = batch.get("indices", [])
+                var_list = [v for v in ("energy", "breathiness", "voicing", "tension")
+                            if hp.get(f"predict_{v}", False)]
+                dur_pred, pitch_pred, var_pred = self.model.forward_infer(
+                    state.params, _jax.random.PRNGKey(0),
+                    _jnp.asarray(batch["tokens"]), _jnp.asarray(batch.get("midi")),
+                    _jnp.asarray(batch.get("ph2word")),
+                    _jnp.asarray(batch.get("base_pitch")) if batch.get("base_pitch") is not None else None,
+                    ph_dur=_jnp.asarray(batch["ph_dur"]),
+                    mel2ph=_jnp.asarray(batch.get("mel2ph")) if batch.get("mel2ph") is not None else None,
+                    pitch=_jnp.asarray(batch.get("pitch")) if var_list and batch.get("pitch") is not None else None,
+                )
+                step = int(state.step)
+                if not hasattr(self, "_metric_states"):
+                    self._metric_states = {}
+                ms = self._metric_states
+                nonpad = _jnp.asarray(batch["tokens"] > 0)
+                if dur_pred is not None and hp["predict_dur"]:
+                    ph2word = _jnp.asarray(batch["ph2word"])
+                    gt = _jnp.asarray(batch["ph_dur"]).astype(_jnp.float32)
+                    pred = _jnp.round(dur_pred).astype(_jnp.float32)
+                    ms["rhythm_corr"] = RhythmCorrectness(0.05).update(
+                        ms.get("rhythm_corr", MetricState()), pred, gt, ph2word, nonpad)
+                    ms["ph_dur_acc"] = PhonemeDurationAccuracy(0.2).update(
+                        ms.get("ph_dur_acc", MetricState()), pred, gt, ph2word, nonpad)
+                if pitch_pred is not None and batch.get("pitch") is not None:
+                    mask = _jnp.asarray(batch["mel2ph"] > 0) & ~_jnp.asarray(batch["uv"])
+                    # forward_infer returns the pitch delta; absolute = base + delta
+                    pred_abs = _jnp.asarray(batch["base_pitch"]) + pitch_pred
+                    gt_pitch = _jnp.asarray(batch["pitch"])
+                    ms["pitch_acc"] = RawCurveAccuracy(0.5).update(
+                        ms.get("pitch_acc", MetricState()), pred_abs, gt_pitch, mask)
+                    ms["pitch_r2"] = RawCurveR2Score().update(
+                        ms.get("pitch_r2", R2State()), pred_abs, gt_pitch, mask)
+                for v in var_list:
+                    if v in (var_pred or {}):
+                        mask = _jnp.asarray(batch["mel2ph"] > 0)
+                        ms[f"{v}_r2"] = RawCurveR2Score().update(
+                            ms.get(f"{v}_r2", R2State()), var_pred[v], _jnp.asarray(batch[v]), mask)
+                for k, st in ms.items():
+                    self.logger.add_scalar(f"metrics/{k}", st.value(), step)
+                    metrics.setdefault(k, []).append(st.value())
+
+                for j, data_idx in enumerate(indices):
+                    if data_idx >= hp.get("num_valid_plots", 10):
+                        continue
+                    if dur_pred is not None and hp["predict_dur"]:
+                        n_ph = int(valid_ds.metadata["tokens"][data_idx])
+                        self.logger.add_figure(
+                            f"dur_{data_idx}",
+                            dur_to_figure(_np.asarray(batch["ph_dur"][j][:n_ph]),
+                                          _np.asarray(dur_pred[j][:n_ph]),
+                                          [""] * n_ph),
+                            step,
+                        )
+                    if pitch_pred is not None:
+                        t = int(valid_ds.metadata["pitch"][data_idx])
+                        self.logger.add_figure(
+                            f"pitch_{data_idx}",
+                            pitch_note_to_figure(
+                                _np.asarray(batch["pitch"][j][:t]),
+                                _np.asarray(batch["base_pitch"][j][:t]) + _np.asarray(pitch_pred[j][:t]),
+                            ),
+                            step,
+                        )
+                    for v in var_list:
+                        if v in (var_pred or {}):
+                            t = int(valid_ds.metadata[v][data_idx])
+                            self.logger.add_figure(
+                                f"{v}_{data_idx}",
+                                curve_to_figure(_np.asarray(batch[v][j][:t]),
+                                                _np.asarray(var_pred[v][j][:t])),
+                                step,
+                            )
+
         return _Task(hp)
 
 
