@@ -26,14 +26,28 @@ def main():
     parser.add_argument("--hparams", type=str, default="", help="k=v,k2=v2 overrides")
     parser.add_argument("--reset", action="store_true", help="ignore saved work-dir config")
     parser.add_argument("--max_steps", type=int, default=None, help="override max_updates")
+    parser.add_argument("--infer", action="store_true",
+                        help="test mode: run validation over the valid set only "
+                             "(reference basics/base_task.py:442-464)")
     args = parser.parse_args()
 
     from diffsinger_tpu.config import load_config
 
     hp = load_config(
         args.config, exp_name=args.exp_name, hparams_str=args.hparams,
-        reset=args.reset, ckpt_root=root_dir / "checkpoints",
+        reset=args.reset, infer=args.infer, ckpt_root=root_dir / "checkpoints",
     )
+    if args.infer:
+        from diffsinger_tpu.training.train_state import build_optimizer
+        from diffsinger_tpu.utils import load_class_from_name, remap_reference_class_name
+
+        task_cls = load_class_from_name(remap_reference_class_name(hp["task_cls"]))
+        task = task_cls(hp)
+        tx, _ = build_optimizer(hp)
+        state = task._init_or_resume(tx)
+        _, valid_ds = task.build_datasets()
+        task.run_validation(state, valid_ds)
+        return
     run_task(hp, max_steps=args.max_steps)
 
 
