@@ -43,12 +43,14 @@ def main():
         jax.random.PRNGKey(1), jnp.zeros((1, 16, n_mels)), jnp.zeros((1, 16))
     )
 
-    # ~11.9 s segment: a realistic .ds segment after bucketing
-    B, T_TXT, T_MEL = 1, 128, 1024
+    # ~11.9 s segments; batched serving (BASELINE config #5) by default —
+    # frames/sec/chip is a throughput metric. DS_BENCH_BATCH=1 for latency mode.
+    B = int(os.environ.get("DS_BENCH_BATCH", "8"))
+    T_TXT, T_MEL = 128, 1024
     rng = np.random.default_rng(0)
     tokens = jnp.asarray(rng.integers(1, 60, (B, T_TXT)).astype(np.int32))
     mel2ph = jnp.asarray(
-        np.repeat(np.arange(1, T_TXT + 1), T_MEL // T_TXT)[None].astype(np.int32)
+        np.tile(np.repeat(np.arange(1, T_TXT + 1), T_MEL // T_TXT)[None], (B, 1)).astype(np.int32)
     )
     f0 = jnp.asarray(np.full((B, T_MEL), 220.0, np.float32))
 

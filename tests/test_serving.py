@@ -1,0 +1,59 @@
+"""Batched serving test: grouped segments produce the same per-segment output
+lengths and finite audio."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+
+from tests.test_e2e_infer import SAMPLE, TINY_COMMON, _make_exp
+
+
+def test_acoustic_server_batches_segments(tmp_path):
+    hp = _make_exp(
+        tmp_path, "/root/reference/configs/acoustic.yaml",
+        dict(
+            TINY_COMMON,
+            audio_num_mel_bins=16,
+            backbone_args=dict(num_channels=32, num_layers=1, kernel_size=7,
+                               dropout_rate=0.0, strong_cond=True),
+            shallow_diffusion_args=dict(
+                train_aux_decoder=True, train_diffusion=True, val_gt_start=False,
+                aux_decoder_arch="convnext",
+                aux_decoder_args=dict(num_channels=16, num_layers=1, kernel_size=7,
+                                      dropout_rate=0.1),
+                aux_decoder_grad=0.1,
+            ),
+            vocoder_ckpt=str(tmp_path / "none.ckpt"),
+        ),
+        "tiny_serving",
+    )
+    hp["infer"] = True
+
+    from diffsinger_tpu.models.toplevel import DiffSingerAcoustic
+    from diffsinger_tpu.utils.ckpt import checkpoint_path, save_checkpoint
+    from diffsinger_tpu.utils.text import load_phoneme_dictionary
+
+    vocab = len(load_phoneme_dictionary(hp))
+    model = DiffSingerAcoustic(hp, vocab_size=vocab, out_dims=16)
+    save_checkpoint(checkpoint_path(hp["work_dir"], 10), model.init(jax.random.PRNGKey(0)),
+                    category="acoustic", global_step=10)
+
+    with open(SAMPLE, encoding="utf-8") as f:
+        segments = json.load(f)[:3]
+
+    from diffsinger_tpu.inference.serving import AcousticServer
+
+    with pytest.warns(UserWarning):  # random vocoder
+        server = AcousticServer(hp, max_batch_size=4)
+    wavs = server.synthesize_batch(segments, seed=1, steps=2)
+    assert len(wavs) == 3
+    hop, sr = hp["hop_size"], hp["audio_sample_rate"]
+    for seg, wav in zip(segments, wavs):
+        dur = sum(float(d) for d in seg["ph_dur"].split())
+        expected = round(np.round(np.cumsum([float(d) for d in seg["ph_dur"].split()])[-1]
+                                  / (hop / sr) + 0.5)) * hop
+        assert abs(len(wav) - expected) <= hop
+        assert np.isfinite(wav).all()
