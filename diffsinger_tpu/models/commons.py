@@ -145,13 +145,37 @@ def apply_rope(x: jnp.ndarray, seq_axis: int = -2) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _flash_attention_available(L: int, D: int) -> bool:
+    """Use the Pallas TPU flash-attention kernel only where it pays off:
+    long sequences, lane-aligned head dim, TPU backend."""
+    import jax
+
+    try:
+        return (
+            jax.default_backend() == "tpu"
+            and L >= 512
+            and L % 128 == 0
+            and D % 128 == 0
+        )
+    except Exception:
+        return False
+
+
 class SelfAttentionRoPE(nn.Module):
     """Packed-QKV multi-head self-attention with RoPE
-    (MultiheadSelfAttentionWithRoPE, common_layers.py:152-213)."""
+    (MultiheadSelfAttentionWithRoPE, common_layers.py:152-213).
+
+    On TPU with long, lane-aligned sequences the softmax-attention core runs
+    through the Pallas flash-attention kernel (O(L) memory, fused online
+    softmax); padding is expressed via segment ids. Otherwise the plain XLA
+    einsum path is used (these encoders usually see a few hundred tokens, where
+    flash tiling has nothing to win).
+    """
 
     embed_dim: int
     num_heads: int
     dropout: float = 0.1
+    use_flash: Optional[bool] = None  # None = auto
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
@@ -168,13 +192,30 @@ class SelfAttentionRoPE(nn.Module):
         q = apply_rope(q)
         k = apply_rope(k)
 
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
-        scores = scores / math.sqrt(D)
-        neg = jnp.finfo(jnp.float32).min
-        scores = jnp.where(key_padding_mask[:, None, None, :], neg, scores)
-        weights = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-        weights = nn.Dropout(self.dropout)(weights, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+        use_flash = self.use_flash
+        if use_flash is None:
+            use_flash = _flash_attention_available(L, D)
+        if use_flash:
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                SegmentIds, flash_attention,
+            )
+
+            # padding as segment ids: valid tokens in segment 1, pads in 0 —
+            # cross-segment pairs are masked inside the kernel
+            seg = (~key_padding_mask).astype(jnp.int32)
+            out = flash_attention(
+                q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+                segment_ids=SegmentIds(q=seg, kv=seg),
+                sm_scale=1.0 / math.sqrt(D),
+            ).astype(x.dtype)
+        else:
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+            scores = scores / math.sqrt(D)
+            neg = jnp.finfo(jnp.float32).min
+            scores = jnp.where(key_padding_mask[:, None, None, :], neg, scores)
+            weights = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+            weights = nn.Dropout(self.dropout)(weights, deterministic=deterministic)
+            out = jnp.einsum("bhqk,bhkd->bhqd", weights, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, L, C)
         return nn.Dense(C, use_bias=False, dtype=self.dtype, name="out_proj")(out)
 
