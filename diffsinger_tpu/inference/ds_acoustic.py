@@ -46,7 +46,7 @@ class DiffSingerAcousticInfer(BaseSVSInfer):
             try:
                 template = self.model.init(jax.random.PRNGKey(0))
                 self.params, _ = load_params_for_inference(
-                    hparams["work_dir"], template, category="acoustic", ckpt_steps=ckpt_steps
+                    hparams["work_dir"], template, category="acoustic", ckpt_steps=ckpt_steps, hparams=hparams
                 )
             except FileNotFoundError:
                 import warnings

@@ -78,7 +78,7 @@ class DiffSingerVarianceInfer(BaseSVSInfer):
         try:
             template = self.model.init(jax.random.PRNGKey(0))
             self.params, _ = load_params_for_inference(
-                hparams["work_dir"], template, category="variance", ckpt_steps=ckpt_steps
+                hparams["work_dir"], template, category="variance", ckpt_steps=ckpt_steps, hparams=hparams
             )
         except FileNotFoundError:
             import warnings

@@ -75,29 +75,59 @@ def restore_params(template, state_dict) -> Any:
     return serialization.from_state_dict(template, state_dict)
 
 
+def _torch_checkpoints(work_dir) -> list:
+    """Reference Lightning checkpoints (``model_ckpt_steps_<N>.ckpt``)."""
+    work_dir = pathlib.Path(work_dir)
+    if not work_dir.exists():
+        return []
+    found = []
+    for p in work_dir.glob(f"{CKPT_PREFIX}*.ckpt"):
+        m = re.fullmatch(rf"{CKPT_PREFIX}(\d+)\.ckpt", p.name)
+        if m:
+            found.append((int(m.group(1)), p))
+    return sorted(found)
+
+
 def load_params_for_inference(work_dir, template, *, category: str,
-                              ckpt_steps: Optional[int] = None):
+                              ckpt_steps: Optional[int] = None,
+                              hparams: Optional[dict] = None):
     """Find + load the latest (or step-specific) checkpoint's params.
 
     Mirrors scripts/infer.py's ckpt discovery by step prefix (scripts/infer.py:16-32)
-    plus load_ckpt's strictness (utils/__init__.py:166-222).
+    plus load_ckpt's strictness (utils/__init__.py:166-222). Native ``.dsckpt``
+    files take priority; reference torch ``.ckpt`` files are auto-converted
+    (requires ``hparams``).
     """
     work_dir = pathlib.Path(work_dir)
-    if ckpt_steps is not None:
-        path = checkpoint_path(work_dir, ckpt_steps)
-        if not path.exists():
-            # closest earlier checkpoint, like the reference's prefix match
-            candidates = [p for s, p in list_checkpoints(work_dir) if s <= ckpt_steps]
+    native = list_checkpoints(work_dir)
+    if native:
+        if ckpt_steps is not None:
+            candidates = [p for s, p in native if s <= ckpt_steps]
             if not candidates:
                 raise FileNotFoundError(f"No checkpoint at or before step {ckpt_steps} in {work_dir}")
             path = candidates[-1]
-    else:
-        path = get_latest_checkpoint_path(work_dir)
-        if path is None:
-            raise FileNotFoundError(f"No checkpoints found in {work_dir}")
-    blob = load_checkpoint(path, expected_category=category)
-    print(f"| load '{path}' (step {blob['meta'].get('global_step')})")
-    return restore_params(template, blob["params"]), blob["meta"]
+        else:
+            path = native[-1][1]
+        blob = load_checkpoint(path, expected_category=category)
+        print(f"| load '{path}' (step {blob['meta'].get('global_step')})")
+        return restore_params(template, blob["params"]), blob["meta"]
+
+    torch_ckpts = _torch_checkpoints(work_dir) if hparams is not None else []
+    if torch_ckpts:
+        if ckpt_steps is not None:
+            candidates = [(s, p) for s, p in torch_ckpts if s <= ckpt_steps]
+            if not candidates:
+                raise FileNotFoundError(f"No checkpoint at or before step {ckpt_steps} in {work_dir}")
+            step, path = candidates[-1]
+        else:
+            step, path = torch_ckpts[-1]
+        from diffsinger_tpu.utils.torch_model_convert import convert_checkpoint_file
+
+        print(f"| converting torch checkpoint '{path}' (step {step})")
+        params = convert_checkpoint_file(path, hparams, category)
+        return restore_params(template, params), {"category": category, "global_step": step}
+
+    raise FileNotFoundError(f"No checkpoints found in {work_dir}")
 
 
 def keep_checkpoints(work_dir, *, num_ckpt_keep: int,
