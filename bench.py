@@ -19,6 +19,9 @@ TARGET_FRAMES_PER_SEC = 44100 / 512 * 20  # 20x realtime @ hop 512
 
 
 def main():
+    from diffsinger_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
     import jax
     import jax.numpy as jnp
 

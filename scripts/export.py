@@ -11,6 +11,10 @@ import click
 root_dir = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(root_dir))
 
+from diffsinger_tpu.utils.jax_setup import setup_jax  # noqa: E402
+
+setup_jax()
+
 from scripts.infer import find_exp, migrate_legacy_hparams  # noqa: E402
 
 

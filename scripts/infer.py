@@ -15,6 +15,10 @@ import click
 root_dir = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(root_dir))
 
+from diffsinger_tpu.utils.jax_setup import setup_jax  # noqa: E402
+
+setup_jax()
+
 
 def find_exp(exp: str) -> str:
     """Match exp folder by exact name or prefix (scripts/infer.py:16-32)."""

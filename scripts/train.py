@@ -8,6 +8,10 @@ from pathlib import Path
 root_dir = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(root_dir))
 
+from diffsinger_tpu.utils.jax_setup import setup_jax  # noqa: E402
+
+setup_jax()
+
 
 def run_task(hp, max_steps=None):
     from diffsinger_tpu.utils import load_class_from_name, remap_reference_class_name

@@ -12,6 +12,10 @@ import numpy as np
 root_dir = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(root_dir))
 
+from diffsinger_tpu.utils.jax_setup import setup_jax  # noqa: E402
+
+setup_jax()
+
 
 @click.command(help="Run DiffSinger vocoder")
 @click.argument("mel", type=click.Path(exists=True, dir_okay=False, path_type=pathlib.Path,
