@@ -49,6 +49,80 @@ class DurationPredictor(nn.Module):
         return dur_log  # loss computed in log domain against log(target + offset)
 
 
+class VariancePredictor(nn.Module):
+    """Conv-stack scalar-curve predictor (reference tts_modules.py:137-184;
+    kept for inventory parity — the production variance path uses the
+    diffusion/reflow heads instead)."""
+
+    vmin: float
+    vmax: float
+    n_layers: int = 5
+    n_chans: int = 512
+    kernel_size: int = 5
+    dropout_rate: float = 0.1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, xs: jnp.ndarray, infer: bool = True, deterministic: bool = True):
+        """xs: [B, T, H] -> [B, T]."""
+        from diffsinger_tpu.models.commons import sinusoidal_positional_table
+
+        alpha = self.param("pos_embed_alpha", nn.initializers.ones, (1,))
+        table = jnp.asarray(sinusoidal_positional_table(4096, xs.shape[-1]))
+        positions = jnp.arange(1, xs.shape[1] + 1)
+        xs = xs + alpha * jnp.take(table, positions, axis=0)[None]
+        for i in range(self.n_layers):
+            xs = nn.Conv(self.n_chans, kernel_size=(self.kernel_size,),
+                         padding=self.kernel_size // 2, dtype=self.dtype, name=f"conv_{i}")(xs)
+            xs = jax.nn.relu(xs)
+            xs = nn.LayerNorm(epsilon=1e-12, name=f"norm_{i}")(xs)
+            xs = nn.Dropout(self.dropout_rate)(xs, deterministic=deterministic)
+        xs = Linear(1, name="linear")(xs)[:, :, 0]
+        if infer:
+            xs = (xs + 1) / 2 * (self.vmax - self.vmin) + self.vmin
+        return xs
+
+
+class PitchPredictor(nn.Module):
+    """Binned sigmoid pitch predictor (reference tts_modules.py:187-247;
+    inventory parity — production pitch uses the diffusion/reflow head)."""
+
+    vmin: float
+    vmax: float
+    num_bins: int = 300
+    deviation: float = 1.0
+    n_layers: int = 5
+    n_chans: int = 384
+    kernel_size: int = 5
+    dropout_rate: float = 0.1
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, xs: jnp.ndarray, base: jnp.ndarray, deterministic: bool = True):
+        """xs: [B, T, H]; base: [B, T] -> (pitch [B, T], logits [B, T, N])."""
+        from diffsinger_tpu.models.commons import sinusoidal_positional_table
+
+        interval = (self.vmax - self.vmin) / (self.num_bins - 1)
+        xs = xs + Linear(xs.shape[-1], name="base_pitch_embed")(base[:, :, None])
+        alpha = self.param("pos_embed_alpha", nn.initializers.ones, (1,))
+        table = jnp.asarray(sinusoidal_positional_table(4096, xs.shape[-1]))
+        positions = jnp.arange(1, xs.shape[1] + 1)
+        xs = xs + alpha * jnp.take(table, positions, axis=0)[None]
+        for i in range(self.n_layers):
+            xs = nn.Conv(self.n_chans, kernel_size=(self.kernel_size,),
+                         padding=self.kernel_size // 2, dtype=self.dtype, name=f"conv_{i}")(xs)
+            xs = jax.nn.relu(xs)
+            xs = nn.LayerNorm(epsilon=1e-12, name=f"norm_{i}")(xs)
+            xs = nn.Dropout(self.dropout_rate)(xs, deterministic=deterministic)
+        logits = Linear(self.num_bins, name="linear")(xs)  # [B, T, N]
+        probs = jax.nn.sigmoid(logits)
+        bins = jnp.sum(jnp.arange(self.num_bins) * probs, axis=2) / jnp.maximum(
+            jnp.sum(probs, axis=2), 1e-8
+        )
+        pitch = bins * interval + self.vmin
+        return pitch + base, logits
+
+
 class FastSpeech2Variance(nn.Module):
     vocab_size: int
     hidden_size: int = 256
