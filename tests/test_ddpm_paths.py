@@ -108,10 +108,12 @@ def test_melody_encoder_variance_path():
     )
     assert pitch_pred.shape == (b, t_s)
     assert np.isfinite(np.asarray(pitch_pred)).all()
-    # glide embedding actually participates: changing glide changes the output
-    pitch_pred2 = model.forward_infer(
-        params, jax.random.PRNGKey(1), tokens, midi, ph2word, base_pitch,
-        word_dur=word_dur, note_midi=note_midi, note_rest=note_rest,
-        note_dur=note_dur, note_glide=jnp.zeros((b, t_n), jnp.int32), mel2note=mel2note,
-    )[1]
-    assert np.abs(np.asarray(pitch_pred) - np.asarray(pitch_pred2)).max() > 1e-6
+    # glide embedding actually participates in the conditioning: the melody
+    # encoder's output changes with glide. (The sampler output itself cannot
+    # react with untrained weights — the denoiser's out-projection is
+    # zero-initialized, reference wavenet.py:73.)
+    m1 = model.module.apply(params, note_midi, note_rest, note_dur,
+                            note_glide=note_glide, method="melody_encode")
+    m0 = model.module.apply(params, note_midi, note_rest, note_dur,
+                            note_glide=jnp.zeros((b, t_n), jnp.int32), method="melody_encode")
+    assert float(jnp.abs(m1 - m0).max()) > 1e-6
