@@ -8,9 +8,11 @@ Algorithms:
   reference uses for single harmonics (decomposed_waveform.py:132-193) applied
   at every harmonic multiple simultaneously; aperiodic = waveform - harmonic.
   Frame-parallel, one STFT/iSTFT pair, jit-compiled.
-* ``world``: the reference's pyworld CheapTrick/D4C path. pyworld is not
-  available in this environment; requests fall back to ``comb`` with a warning
-  (a native CheapTrick/D4C port is tracked for a later round, SURVEY.md §7.2#3).
+* ``world``: native WORLD-style analysis/resynthesis (diffsinger_tpu.dsp.world):
+  CheapTrick spectral envelope + spectral-floor band aperiodicity, both parts
+  re-synthesized exactly like the reference's pyworld path
+  (decomposed_waveform.py:195-230). Divergence: the aperiodicity estimator is
+  a spectral-floor method rather than a faithful D4C port.
 * ``vr``: vocal-remover CascadedNet (see diffsinger_tpu.models.hnsep); used
   when a checkpoint is available, else falls back to ``comb``.
 
@@ -134,18 +136,11 @@ class DecomposedWaveform:
 
     @staticmethod
     def _backend_available(algorithm: str, hnsep_ckpt) -> bool:
-        if algorithm == "world":
-            try:
-                import pyworld  # noqa: F401
-
-                return True
-            except ImportError:
-                return False
         if algorithm == "vr":
             import pathlib
 
             return hnsep_ckpt is not None and pathlib.Path(hnsep_ckpt).exists()
-        return True
+        return True  # 'world' is native (dsp/world.py); 'comb' always available
 
     # -- properties matching the reference ------------------------------
     @property
@@ -191,6 +186,20 @@ class DecomposedWaveform:
             from diffsinger_tpu.models.hnsep import predict_harmonic
 
             self._harmonic_part = predict_harmonic(self._hnsep_ckpt, self._waveform)
+        elif self.algorithm == "world":
+            from diffsinger_tpu.dsp.world import world_harmonic_aperiodic
+
+            # keep zeros (unvoiced markers), pad the frame axis with zeros
+            n_frames = int(np.ceil((len(self._waveform) + 1) / self._hop_size))
+            f0 = np.zeros(n_frames, np.float32)
+            f0[: min(n_frames, len(self._f0))] = self._f0[:n_frames]
+            harmonic, aperiodic = world_harmonic_aperiodic(
+                self._waveform, f0,
+                fs=self._samplerate, fft_size=self._fft_size, hop=self._hop_size,
+            )
+            self._harmonic_part = harmonic
+            self._aperiodic_part = aperiodic
+            return
         else:  # comb
             f0 = self._aligned_f0()
             uv_mask = np.repeat(self._f0 > 0, self._hop_size)[: len(self._waveform)]
