@@ -95,10 +95,15 @@ def inference(
     rng: jax.Array,
     x_end: jnp.ndarray | None = None,
     use_shallow_diffusion: bool = False,
+    noise: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Full rectified-flow inference driver (reflow.py:104-138): start from noise
-    or from the shallow source blended with noise at t_start."""
-    noise = jax.random.normal(rng, shape_like.shape, dtype=jnp.float32)
+    or from the shallow source blended with noise at t_start.
+
+    ``noise`` overrides the PRNG draw — the externally-injected-noise regression
+    mode for cross-implementation mel comparison (SURVEY.md §7.2#4)."""
+    if noise is None:
+        noise = jax.random.normal(rng, shape_like.shape, dtype=jnp.float32)
     if use_shallow_diffusion and t_start > 0:
         assert x_end is not None, "Missing shallow diffusion source."
         if t_start >= 1.0:

@@ -198,7 +198,8 @@ class DiffSingerAcoustic:
     def forward_infer(
         self, params, rng: jax.Array, txt_tokens, mel2ph, f0,
         *, steps: Optional[int] = None, depth: Optional[int] = None,
-        t_start_infer: Optional[float] = None, gt_mel=None, **kwargs,
+        t_start_infer: Optional[float] = None, gt_mel=None,
+        noise: Optional[jnp.ndarray] = None, **kwargs,
     ) -> ShallowDiffusionOutput:
         """Inference forward (toplevel.py:93-105): aux draft + sampler."""
         hp = self.hp
@@ -242,6 +243,7 @@ class DiffSingerAcoustic:
                 rng=rng,
                 x_end=src_spec,
                 use_shallow_diffusion=self.use_shallow_diffusion,
+                noise=noise,
             )
         mel = self.spec_transform.denorm(x) * frame_mask
         return ShallowDiffusionOutput(aux_out=aux_mel, diff_out=mel)

@@ -280,3 +280,65 @@ def test_inference_loader_autoconverts_torch_ckpt(ref_modules, tmp_path):
     np.testing.assert_allclose(
         np.asarray(params["params"]["fs2"]["txt_embed"]["embedding"]), golden
     )
+
+
+def test_e2e_mel_mae_vs_reference(ref_modules):
+    """THE north-star check (BASELINE.md): full acoustic inference
+    (encoder -> aux draft -> shallow reflow sampling) with converted weights and
+    IDENTICAL injected noise must match the reference within mel MAE <= 1e-3."""
+    ref_toplevel, ref_hparams = ref_modules
+    ref_hparams.clear()
+    ref_hparams.update(HP_ACOUSTIC)
+    torch.manual_seed(5)
+    tmodel = ref_toplevel.DiffSingerAcoustic(vocab_size=30, out_dims=16)
+    tmodel.eval()
+
+    from diffsinger_tpu.models.toplevel import DiffSingerAcoustic
+    from diffsinger_tpu.utils.torch_model_convert import convert_acoustic
+
+    hp = dict(HP_ACOUSTIC)
+    jmodel = DiffSingerAcoustic(hp, vocab_size=30, out_dims=16)
+    params = jax.tree.map(jnp.asarray, convert_acoustic(tmodel.state_dict(), hp))
+
+    rng = np.random.default_rng(11)
+    B, T_TXT, T_MEL = 1, 10, 40
+    tokens = rng.integers(1, 29, (B, T_TXT)).astype(np.int64)
+    mel2ph = np.repeat(np.arange(1, 11), 4)[None].astype(np.int64)
+    f0 = np.full((B, T_MEL), 220.0, np.float32)
+    energy = rng.uniform(-60, -20, (B, T_MEL)).astype(np.float32)
+    key_shift = np.zeros((B, 1), np.float32)
+    noise = rng.standard_normal((B, 1, 16, T_MEL)).astype(np.float32)  # torch layout
+
+    # reference inference with the SAME noise injected (patch torch.randn)
+    real_randn = torch.randn
+
+    def fixed_randn(*shape, **kw):
+        if tuple(shape) == (B, 1, 16, T_MEL):
+            return torch.from_numpy(noise)
+        return real_randn(*shape, **kw)
+
+    torch.randn = fixed_randn
+    try:
+        with torch.no_grad():
+            ref_out = tmodel(
+                torch.from_numpy(tokens), mel2ph=torch.from_numpy(mel2ph),
+                f0=torch.from_numpy(f0), energy=torch.from_numpy(energy),
+                key_shift=torch.from_numpy(key_shift), infer=True,
+            )
+    finally:
+        torch.randn = real_randn
+    ref_mel = ref_out.diff_out.numpy()
+
+    # ours with the same noise in our [B, T, M] layout
+    out = jmodel.forward_infer(
+        params, jax.random.PRNGKey(0),
+        jnp.asarray(tokens, jnp.int32), jnp.asarray(mel2ph, jnp.int32), jnp.asarray(f0),
+        key_shift=jnp.asarray(key_shift),
+        variances={"energy": jnp.asarray(energy)},
+        noise=jnp.asarray(noise[:, 0].transpose(0, 2, 1)),
+        steps=HP_ACOUSTIC["sampling_steps"],
+    )
+    our_mel = np.asarray(out.diff_out)
+    mae = np.abs(our_mel - ref_mel).mean()
+    assert mae <= 1e-3, f"e2e mel MAE vs reference: {mae}"
+    print(f"e2e mel MAE vs reference: {mae:.2e}")
