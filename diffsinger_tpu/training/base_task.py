@@ -9,6 +9,12 @@ batch sampling, TensorBoard logging.
 TPU re-design: one jitted SPMD train step per shape bucket over a
 ``Mesh(('data','model'))``; gradient all-reduce is XLA-inserted (no DDP
 machinery); "16-mixed" precision maps to bf16 compute with fp32 params.
+
+Note on the reference's ``trainer_stage`` persistence (basics/base_task.py:
+466-475): it exists there because Lightning re-runs validation immediately
+after resuming. This loop always validates *before* writing the checkpoint and
+resumes at ``step + 1``, so a mid-validation interrupt can at worst repeat one
+validation pass — no stage flag is needed.
 """
 
 from __future__ import annotations
