@@ -313,11 +313,32 @@ class DiffSingerVarianceInfer(BaseSVSInfer):
         ph2word = pad_to(batch["ph2word"], t_ph_pad, axis=1)
         base_pitch = pad_to(batch["base_pitch"], t_s_pad, axis=1)
 
-        dur_pred, pitch_pred, variance_pred = self.model.forward_infer(
-            self.params, rng, jnp.asarray(tokens), jnp.asarray(midi), jnp.asarray(ph2word),
-            jnp.asarray(base_pitch),
-            predict_pitch=predict_pitch, predict_variances=predict_variances,
-            **{k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v) for k, v in kwargs.items()},
+        array_kwargs = {
+            k: jnp.asarray(v) for k, v in kwargs.items()
+            if k != "steps" and v is not None
+        }
+        # one jitted program per (bucket shapes, predictor flags, arg set, steps);
+        # None-valued kwargs are dropped (forward_infer defaults them to None),
+        # so the traced pytree structure stays static per cache key
+        if not hasattr(self, "_jit_cache"):
+            self._jit_cache = {}
+        key = (
+            tuple(sorted((k, v.shape) for k, v in array_kwargs.items())),
+            tokens.shape, base_pitch.shape, flags, steps,
+        )
+        if key not in self._jit_cache:
+
+            def fn(params, rng, tokens, midi, ph2word, base_pitch, kw):
+                return self.model.forward_infer(
+                    params, rng, tokens, midi, ph2word, base_pitch,
+                    predict_pitch=predict_pitch, predict_variances=predict_variances,
+                    steps=steps, **kw,
+                )
+
+            self._jit_cache[key] = jax.jit(fn)
+        dur_pred, pitch_pred, variance_pred = self._jit_cache[key](
+            self.params, rng, jnp.asarray(tokens), jnp.asarray(midi),
+            jnp.asarray(ph2word), jnp.asarray(base_pitch), array_kwargs,
         )
         t_ph = batch["tokens"].shape[1]
         out_dur = None
