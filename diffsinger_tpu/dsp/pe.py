@@ -2,10 +2,14 @@
 
 The reference's default PE is Praat's autocorrelation method via parselmouth
 (C++). Neither parselmouth nor pyworld exist in this environment, so the
-default here is a **native JAX autocorrelation PE** in the same family
-(Boersma-style: window-ACF-corrected normalized autocorrelation, parabolic
-peak interpolation, octave-cost candidate selection + median smoothing) —
-frame-parallel and jit-compiled, an excellent XLA fit.
+default here is a **native JAX autocorrelation PE** implementing the same
+algorithm family (Boersma 1993): window-ACF-corrected normalized
+autocorrelation, parabolic peak interpolation, top-K voiced candidates per
+frame with Praat's octave cost, an unvoiced candidate from the silence
+threshold, and a Viterbi path finder with octave-jump / voiced-unvoiced
+transition costs. The ACF + candidate extraction is frame-parallel and the
+Viterbi forward pass is a ``lax.scan`` — both jit-compiled; only the trivial
+backtrace runs on host.
 
 Registry parity: 'parselmouth' (-> native ACF), 'harvest' (-> ACF with a
 warning; a native Harvest port is future work), 'rmvpe' (NN extractor, needs a
@@ -31,22 +35,31 @@ class BasePE:
         raise NotImplementedError()
 
 
+_NEG = -1e9  # sentinel for "no candidate" (avoids inf-inf NaNs in the DP)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("win_size", "hop", "lag_min", "lag_max", "voicing_threshold"),
+    static_argnames=("win_size", "hop", "lag_min", "lag_max", "n_cands"),
 )
-def _acf_frames(
-    y: jnp.ndarray, *, win_size: int, hop: int, lag_min: int, lag_max: int,
-    voicing_threshold: float = 0.45,
+def _acf_viterbi(
+    y: jnp.ndarray, sr, *, win_size: int, hop: int, lag_min: int, lag_max: int,
+    n_cands: int = 14,
+    voicing_threshold=0.45, silence_threshold=0.03, octave_cost=0.01,
+    octave_jump_cost=0.35, voiced_unvoiced_cost=0.14,
 ):
-    """Normalized, window-corrected autocorrelation per frame.
+    """Candidate extraction + Viterbi forward pass (Boersma's 'ac' method).
 
-    Returns (lag_est [F] float, strength [F], rms [F]).
+    Returns (f0_cand [F, S], last_delta [S], backptr [F, S]) where
+    S = n_cands + 1 and state S-1 is the unvoiced candidate (f0 = 0).
     """
     frames = frame_signal(y[None], win_size, hop)[0]  # [F, W]
+    local_peak = jnp.max(jnp.abs(frames), axis=1)     # pre-DC-removal, like Praat
+    global_peak = jnp.maximum(jnp.max(jnp.abs(y)), 1e-9)
     frames = frames - frames.mean(axis=1, keepdims=True)
-    rms = jnp.sqrt(jnp.mean(frames * frames, axis=1))
-    window = jnp.asarray(0.5 - 0.5 * np.cos(2 * np.pi * np.arange(win_size) / (win_size - 1)), jnp.float32)
+    window = jnp.asarray(
+        0.5 - 0.5 * np.cos(2 * np.pi * np.arange(win_size) / (win_size - 1)), jnp.float32
+    )
     fw = frames * window
 
     n_fft = int(2 ** np.ceil(np.log2(2 * win_size)))
@@ -62,37 +75,70 @@ def _acf_frames(
 
     lags = jnp.arange(lag_max + 2)
     valid = (lags >= lag_min) & (lags <= lag_max)
-    # candidates are LOCAL maxima of the ACF (not the trivially-high small lags)
+    # voiced candidates are LOCAL maxima of the corrected ACF
     is_peak = jnp.zeros_like(r, dtype=bool)
     is_peak = is_peak.at[:, 1:-1].set((r[:, 1:-1] > r[:, :-2]) & (r[:, 1:-1] >= r[:, 2:]))
-    # Praat-style octave cost: penalize longer lags so subharmonics (octave-down
-    # errors) only win when genuinely stronger
-    octave_cost = 0.05
-    penalty = octave_cost * jnp.log2(jnp.maximum(lags, 1) / lag_min)
-    r_masked = jnp.where(valid[None, :] & is_peak, r - penalty[None, :], -jnp.inf)
-    best = jnp.argmax(r_masked, axis=1)  # [F]
+    r_peaks = jnp.where(valid[None, :] & is_peak, r, _NEG)
+    vals, idx = jax.lax.top_k(r_peaks, n_cands)  # [F, K]
+    has_cand = vals > _NEG / 2
 
-    # parabolic interpolation around the peak
-    f_idx = jnp.arange(r.shape[0])
-    rm1 = r[f_idx, jnp.maximum(best - 1, 0)]
-    rp1 = r[f_idx, jnp.minimum(best + 1, lag_max + 1)]
-    rb = r[f_idx, best]
+    # parabolic interpolation of lag and peak value around each candidate
+    rm1 = jnp.take_along_axis(r, jnp.maximum(idx - 1, 0), axis=1)
+    rp1 = jnp.take_along_axis(r, jnp.minimum(idx + 1, lag_max + 1), axis=1)
+    rb = jnp.take_along_axis(r, idx, axis=1)
     denom = rm1 - 2 * rb + rp1
     delta = jnp.where(jnp.abs(denom) > 1e-9, 0.5 * (rm1 - rp1) / denom, 0.0)
     delta = jnp.clip(delta, -0.5, 0.5)
-    lag_est = best.astype(jnp.float32) + delta
-    has_peak = jnp.isfinite(jnp.max(r_masked, axis=1))
-    strength = jnp.where(has_peak, jnp.clip(rb, 0.0, 1.2), 0.0)
-    return lag_est, strength, rms
+    lag_est = idx.astype(jnp.float32) + delta
+    r_int = rb + 0.5 * (rp1 - rm1) * delta + 0.5 * denom * delta * delta
+    r_int = jnp.clip(r_int, -1.0, 1.5)
 
+    f0_v = sr / jnp.maximum(lag_est, 1e-6)  # [F, K]
+    # local strength R = r - OctaveCost * log2(MinimumPitch * tau)  (Boersma eq. 26)
+    f0_min_hz = sr / lag_max
+    strength_v = r_int - octave_cost * jnp.log2(f0_min_hz * lag_est / sr)
+    strength_v = jnp.where(has_cand, strength_v, _NEG)
 
-def _median3(x: np.ndarray) -> np.ndarray:
-    if len(x) < 3:
-        return x
-    stacked = np.stack([np.roll(x, 1), x, np.roll(x, -1)])
-    out = np.median(stacked, axis=0)
-    out[0], out[-1] = x[0], x[-1]
-    return out
+    # unvoiced candidate: R = VT + max(0, 2 - intensity / (ST / (1 + VT)))
+    intensity = local_peak / global_peak
+    strength_uv = voicing_threshold + jnp.maximum(
+        0.0, 2.0 - intensity / (silence_threshold / (1.0 + voicing_threshold))
+    )
+
+    strength = jnp.concatenate([strength_v, strength_uv[:, None]], axis=1)  # [F, S]
+    f0_cand = jnp.concatenate(
+        [jnp.where(has_cand, f0_v, 1.0), jnp.zeros_like(strength_uv)[:, None]], axis=1
+    )
+    is_voiced = jnp.concatenate(
+        [has_cand, jnp.zeros_like(strength_uv, bool)[:, None]], axis=1
+    )
+
+    # Praat calibrates transition costs for a 10 ms step (Pitch_pathFinder)
+    step_corr = 0.01 / (hop / sr)
+    ojc = octave_jump_cost * step_corr
+    vuc = voiced_unvoiced_cost * step_corr
+
+    safe_f0 = jnp.where(is_voiced, f0_cand, 1.0)
+
+    def step(carry, x):
+        delta_prev, f_prev, v_prev = carry
+        s_t, f_t, v_t = x
+        both = v_prev[:, None] & v_t[None, :]
+        either = v_prev[:, None] ^ v_t[None, :]
+        jump = jnp.abs(jnp.log2(f_prev[:, None] / f_t[None, :]))
+        cost = jnp.where(both, ojc * jump, jnp.where(either, vuc, 0.0))
+        total = delta_prev[:, None] - cost  # [S_prev, S_cur]
+        bp = jnp.argmax(total, axis=0)
+        delta_new = s_t + jnp.max(total, axis=0)
+        return (delta_new, f_t, v_t), bp
+
+    (last_delta, _, _), bp = jax.lax.scan(
+        step,
+        (strength[0], safe_f0[0], is_voiced[0]),
+        (strength[1:], safe_f0[1:], is_voiced[1:]),
+    )
+    # bp[t] maps frame t+1's state -> frame t's best predecessor
+    return f0_cand, last_delta, bp
 
 
 class AcfPE(BasePE):
@@ -111,19 +157,22 @@ class AcfPE(BasePE):
         lag_min = max(2, int(samplerate / f0_max))
         lag_max = int(np.ceil(samplerate / f0_min))
 
-        lag, strength, rms = _acf_frames(
-            jnp.asarray(y), win_size=win, hop=hop, lag_min=lag_min, lag_max=lag_max,
+        f0_cand, last_delta, bp = _acf_viterbi(
+            jnp.asarray(y), float(samplerate), win_size=win, hop=hop,
+            lag_min=lag_min, lag_max=lag_max,
+            voicing_threshold=self.voicing_threshold,
         )
-        lag = np.asarray(lag)
-        strength = np.asarray(strength)
-        rms = np.asarray(rms)
+        f0_cand = np.asarray(f0_cand)
+        bp = np.asarray(bp)
 
-        f0 = samplerate / np.maximum(lag, 1e-6)
-        silence = rms < max(1e-4, 0.015 * max(rms.max(), 1e-9))
-        voiced = (strength > self.voicing_threshold) & ~silence
-        f0 = np.where(voiced, f0, 0.0).astype(np.float32)
+        # backtrace (tiny: F frames of int indexing)
+        n_frames = f0_cand.shape[0]
+        path = np.empty(n_frames, np.int64)
+        path[-1] = int(np.argmax(np.asarray(last_delta)))
+        for t in range(n_frames - 2, -1, -1):
+            path[t] = bp[t, path[t + 1]]
+        f0 = f0_cand[np.arange(n_frames), path].astype(np.float32)
         f0 = np.where((f0 >= f0_min) & (f0 <= f0_max), f0, 0.0)
-        f0 = _median3(f0)
 
         if len(f0) < length:
             f0 = np.pad(f0, (0, length - len(f0)))

@@ -106,6 +106,46 @@ def test_acf_pitch_extractor_accuracy(f0_true):
     assert np.median(err_cents) < 15, np.median(err_cents)
 
 
+def test_acf_pitch_viterbi_glide_has_no_octave_jumps():
+    # a 150->300 Hz glide with rich harmonics: the per-frame argmax is prone to
+    # octave/harmonic locking; the Viterbi octave-jump cost must keep the path
+    # continuous
+    seconds = 1.0
+    t = np.arange(int(SR * seconds)) / SR
+    f0_t = 150.0 * (2.0 ** (t / seconds))  # one octave over the clip
+    phase = 2 * np.pi * np.cumsum(f0_t) / SR
+    y = sum(0.6 ** k * np.sin((k + 1) * phase) for k in range(6))
+    y = (0.3 * y / np.abs(y).max()).astype(np.float32)
+    length = len(y) // 512 + 1
+    pe = AcfPE()
+    f0, uv = pe.get_pitch(y, SR, length, hop_size=512, f0_min=65, f0_max=1100)
+    hop_centers = np.arange(length) * 512 / SR
+    f0_true = 150.0 * (2.0 ** np.clip(hop_centers / seconds, 0, 1))
+    voiced = ~uv
+    assert voiced.mean() > 0.8
+    err_cents = 1200 * np.abs(np.log2(f0[voiced] / f0_true[voiced]))
+    assert np.median(err_cents) < 20, np.median(err_cents)
+    # no octave jumps between consecutive voiced frames
+    vf = f0[voiced]
+    jumps = np.abs(np.log2(vf[1:] / vf[:-1]))
+    assert jumps.max() < 0.5, jumps.max()
+
+
+def test_acf_pitch_voiced_unvoiced_segmentation():
+    # tone | silence | tone: the unvoiced candidate must win in the gap
+    tone = _harmonic_signal(220.0, seconds=0.3)
+    gap = np.zeros(int(SR * 0.3), np.float32)
+    y = np.concatenate([tone, gap, tone])
+    length = len(y) // 512 + 1
+    pe = AcfPE()
+    f0, uv = pe.get_pitch(y, SR, length, hop_size=512)
+    n = int(SR * 0.3) // 512
+    # interior of each segment (skip boundary frames blurred by the window)
+    assert (~uv[4 : n - 4]).mean() > 0.9
+    assert uv[n + 6 : 2 * n - 6].all()
+    assert (~uv[2 * n + 4 : 3 * n - 4]).mean() > 0.9
+
+
 def test_acf_pitch_silence_is_unvoiced():
     y = np.zeros(SR // 2, np.float32)
     pe = AcfPE()
