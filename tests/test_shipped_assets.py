@@ -1,0 +1,160 @@
+"""The framework's own shipped assets (configs/, dictionaries/, samples/)
+must work standalone — config cascade resolves, the demo dictionary encodes
+the sample scores, and tiny models run .ds -> wav / .ds -> .ds without
+touching the reference checkout (reference ships configs/base|acoustic|
+variance.yaml, dictionaries/opencpop-extension.txt, samples/*.ds)."""
+
+import json
+import pathlib
+import shutil
+
+import numpy as np
+import pytest
+import yaml
+
+import jax
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+DICT = REPO / "dictionaries" / "demo-pinyin.txt"
+
+
+def _make_exp(tmp_path, base_cfg, overrides, name):
+    from diffsinger_tpu.config import load_config
+
+    work_dir = tmp_path / "checkpoints" / name
+    work_dir.mkdir(parents=True)
+    hp = load_config(str(base_cfg), save_snapshot=False)
+    hp.update(overrides)
+    hp["work_dir"] = str(work_dir)
+    hp["dictionary"] = str(DICT)
+    hp.pop("dictionaries", None)
+    with open(work_dir / "config.yaml", "w") as f:
+        yaml.safe_dump(dict(hp), f, allow_unicode=True)
+    shutil.copy(DICT, work_dir / "dictionary.txt")
+    return hp
+
+
+def test_config_cascade_and_class_paths():
+    from diffsinger_tpu.config import load_config
+    from diffsinger_tpu.utils import remap_reference_class_name
+
+    for cfg, task in [
+        (REPO / "configs" / "templates" / "config_acoustic.yaml",
+         "diffsinger_tpu.training.acoustic_task.AcousticTask"),
+        (REPO / "configs" / "templates" / "config_variance.yaml",
+         "diffsinger_tpu.training.variance_task.VarianceTask"),
+    ]:
+        hp = load_config(str(cfg), save_snapshot=False)
+        assert hp["task_cls"] == task
+        assert hp["audio_sample_rate"] == 44100 and hp["hop_size"] == 512
+        # the task/binarizer classes must import
+        mod, cls = remap_reference_class_name(hp["task_cls"]).rsplit(".", 1)
+        assert getattr(__import__(mod, fromlist=[cls]), cls) is not None
+        mod, cls = remap_reference_class_name(hp["binarizer_cls"]).rsplit(".", 1)
+        assert getattr(__import__(mod, fromlist=[cls]), cls) is not None
+        # optimizer/schedule construction from shipped defaults
+        from diffsinger_tpu.training.train_state import build_optimizer
+
+        tx, schedule = build_optimizer(hp)
+        assert float(schedule(0)) > 0
+
+
+def test_demo_dictionary_covers_samples():
+    from diffsinger_tpu.utils.text import PhonemeDictionary
+
+    pd = PhonemeDictionary({"zh": DICT})
+    for ds in sorted((REPO / "samples").glob("*.ds")):
+        with open(ds, encoding="utf8") as f:
+            for seg in json.load(f):
+                ids = pd.encode(seg["ph_seq"])
+                assert (np.asarray(ids) > 0).all(), ds.name
+
+
+def test_acoustic_sample_to_wav(tmp_path):
+    import wave
+
+    from diffsinger_tpu.inference.ds_acoustic import DiffSingerAcousticInfer
+    from diffsinger_tpu.models.toplevel import DiffSingerAcoustic
+    from diffsinger_tpu.utils.ckpt import checkpoint_path, save_checkpoint
+    from diffsinger_tpu.utils.text import load_phoneme_dictionary
+
+    hp = _make_exp(
+        tmp_path, REPO / "configs" / "acoustic.yaml",
+        dict(
+            hidden_size=32, enc_layers=1, sampling_steps=2, audio_num_mel_bins=16,
+            backbone_args=dict(num_channels=32, num_layers=1, kernel_size=7,
+                               dropout_rate=0.0, strong_cond=True),
+            shallow_diffusion_args=dict(
+                train_aux_decoder=True, train_diffusion=True, val_gt_start=False,
+                aux_decoder_arch="convnext",
+                aux_decoder_args=dict(num_channels=16, num_layers=1, kernel_size=7,
+                                      dropout_rate=0.1),
+                aux_decoder_grad=0.1,
+            ),
+            vocoder_ckpt=str(tmp_path / "missing_vocoder.ckpt"),
+        ),
+        "shipped_acoustic",
+    )
+    hp["infer"] = True
+    vocab = len(load_phoneme_dictionary(hp))
+    model = DiffSingerAcoustic(hp, vocab_size=vocab, out_dims=16)
+    params = model.init(jax.random.PRNGKey(0))
+    save_checkpoint(checkpoint_path(hp["work_dir"], 100), params,
+                    category="acoustic", global_step=100)
+
+    with open(REPO / "samples" / "00_xiao_xing_xing.ds", encoding="utf8") as f:
+        segments = json.load(f)[:1]
+
+    with pytest.warns(UserWarning):  # random vocoder weights
+        infer_ins = DiffSingerAcousticInfer(hp)
+    out_dir = tmp_path / "out"
+    infer_ins.run_inference(segments, out_dir=out_dir, title="shipped", seed=1, steps=2)
+    with wave.open(str(out_dir / "shipped.wav")) as f:
+        assert f.getframerate() == 44100
+        assert f.getnframes() > 4.5 * 44100  # offset 0.5 + 4.5 s of content
+
+
+def test_variance_score_only_auto_completion(tmp_path):
+    from diffsinger_tpu.inference.ds_variance import DiffSingerVarianceInfer
+    from diffsinger_tpu.models.toplevel import DiffSingerVariance
+    from diffsinger_tpu.utils.ckpt import checkpoint_path, save_checkpoint
+    from diffsinger_tpu.utils.text import load_phoneme_dictionary
+
+    hp = _make_exp(
+        tmp_path, REPO / "configs" / "variance.yaml",
+        dict(
+            hidden_size=32, enc_layers=1, sampling_steps=2,
+            dur_prediction_args=dict(
+                arch="fs2", hidden_size=32, dropout=0.1, num_layers=1, kernel_size=3,
+                log_offset=1.0, loss_type="mse",
+                lambda_pdur_loss=0.3, lambda_wdur_loss=1.0, lambda_sdur_loss=3.0,
+            ),
+            pitch_prediction_args=dict(
+                pitd_norm_min=-8.0, pitd_norm_max=8.0,
+                pitd_clip_min=-12.0, pitd_clip_max=12.0, repeat_bins=8,
+                backbone_type="wavenet",
+                backbone_args=dict(num_layers=2, num_channels=16, dilation_cycle_length=2),
+            ),
+        ),
+        "shipped_variance",
+    )
+    hp["infer"] = True
+    vocab = len(load_phoneme_dictionary(hp))
+    model = DiffSingerVariance(hp, vocab_size=vocab)
+    params = model.init(jax.random.PRNGKey(0))
+    save_checkpoint(checkpoint_path(hp["work_dir"], 100), params,
+                    category="variance", global_step=100)
+
+    with open(REPO / "samples" / "01_score_only.ds", encoding="utf8") as f:
+        segments = json.load(f)
+
+    infer_ins = DiffSingerVarianceInfer(hp, predictions=set())
+    out_dir = tmp_path / "out"
+    infer_ins.run_inference(segments, out_dir=out_dir, title="shipped_var", seed=1)
+    with open(out_dir / "shipped_var.ds", encoding="utf8") as f:
+        out = json.load(f)
+    # dur + pitch were auto-completed from the bare score
+    assert "ph_dur" in out[0] and "f0_seq" in out[0]
+    assert len(out[0]["ph_dur"].split()) == len(segments[0]["ph_seq"].split())
+    f0 = np.asarray(out[0]["f0_seq"].split(), np.float32)
+    assert (f0 > 0).all()
