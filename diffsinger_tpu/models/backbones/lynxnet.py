@@ -83,9 +83,15 @@ class LYNXNetResidualLayer(nn.Module):
         conditioner: jnp.ndarray,
         diffusion_step: jnp.ndarray,
         deterministic: bool = True,
+        cond_proj: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        """x: [B, T, C]; conditioner: [B, T, H]; diffusion_step: [B, C]."""
-        cond = nn.Dense(self.dim, dtype=self.dtype, name="conditioner_projection")(conditioner)
+        """x: [B, T, C]; conditioner: [B, T, H]; diffusion_step: [B, C];
+        cond_proj: optional precomputed conditioner projection [B, T, C]
+        (hoisted out of the sampler loop, see backbones/__init__.py)."""
+        if cond_proj is not None:
+            cond = cond_proj
+        else:
+            cond = nn.Dense(self.dim, dtype=self.dtype, name="conditioner_projection")(conditioner)
         if self.front_cond_inject:
             x = x + cond
             res_x = x
@@ -127,6 +133,7 @@ class LYNXNet(nn.Module):
         diffusion_step: jnp.ndarray,
         cond: jnp.ndarray,
         deterministic: bool = True,
+        cond_proj: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         c = self.num_channels
         x = nn.Dense(
@@ -150,7 +157,8 @@ class LYNXNet(nn.Module):
                 front_cond_inject=self.strong_cond,
                 dtype=self.dtype,
                 name=f"residual_layers_{i}",
-            )(x, cond, step, deterministic=deterministic)
+            )(x, cond, step, deterministic=deterministic,
+              cond_proj=None if cond_proj is None else cond_proj[i])
 
         x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         x = nn.Dense(

@@ -27,8 +27,11 @@ class ResidualBlock(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, conditioner: jnp.ndarray, diffusion_step: jnp.ndarray):
-        """x: [B, T, C]; conditioner: [B, T, H]; diffusion_step: [B, C]."""
+    def __call__(self, x: jnp.ndarray, conditioner: jnp.ndarray, diffusion_step: jnp.ndarray,
+                 cond_proj: Optional[jnp.ndarray] = None):
+        """x: [B, T, C]; conditioner: [B, T, H]; diffusion_step: [B, C];
+        cond_proj: optional precomputed conditioner projection [B, T, 2C]
+        (hoisted out of the sampler loop, see backbones/__init__.py)."""
         c = self.residual_channels
         step = nn.Dense(c, dtype=self.dtype, name="diffusion_projection")(diffusion_step)
         y = x + step[:, None, :]
@@ -40,7 +43,9 @@ class ResidualBlock(nn.Module):
             dtype=self.dtype,
             name="dilated_conv",
         )(y)
-        y = y + nn.Dense(2 * c, dtype=self.dtype, name="conditioner_projection")(conditioner)
+        if cond_proj is None:
+            cond_proj = nn.Dense(2 * c, dtype=self.dtype, name="conditioner_projection")(conditioner)
+        y = y + cond_proj
         gate, filt = jnp.split(y, 2, axis=-1)
         y = jax.nn.sigmoid(gate) * jnp.tanh(filt)
         y = nn.Dense(2 * c, dtype=self.dtype, name="output_projection")(y)
@@ -60,7 +65,8 @@ class WaveNet(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, spec: jnp.ndarray, diffusion_step: jnp.ndarray, cond: jnp.ndarray):
+    def __call__(self, spec: jnp.ndarray, diffusion_step: jnp.ndarray, cond: jnp.ndarray,
+                 cond_proj: Optional[jnp.ndarray] = None):
         c = self.num_channels
         x = nn.Dense(
             c, kernel_init=kaiming_normal_torch, dtype=self.dtype, name="input_projection"
@@ -78,7 +84,7 @@ class WaveNet(nn.Module):
                 dilation=2 ** (i % self.dilation_cycle_length),
                 dtype=self.dtype,
                 name=f"residual_layers_{i}",
-            )(x, cond, step)
+            )(x, cond, step, cond_proj=None if cond_proj is None else cond_proj[i])
             skip_sum = skip_sum + skip
         x = skip_sum / math.sqrt(self.num_layers)
         x = nn.Dense(c, kernel_init=kaiming_normal_torch, dtype=self.dtype, name="skip_projection")(x)

@@ -29,7 +29,7 @@ from diffsinger_tpu.core.spec_transform import (
 from diffsinger_tpu.models import compat
 from diffsinger_tpu.models.acoustic_encoder import FastSpeech2Acoustic
 from diffsinger_tpu.models.aux_decoder import AuxDecoderAdaptor
-from diffsinger_tpu.models.backbones import build_backbone
+from diffsinger_tpu.models.backbones import build_backbone, precompute_cond_projections
 from diffsinger_tpu.models.commons import Embedding, Linear
 from diffsinger_tpu.models.variance_encoder import FastSpeech2Variance, MelodyEncoder
 from diffsinger_tpu.utils.seq import gather_frames, length_regulator, rhythm_regulator
@@ -85,8 +85,8 @@ class AcousticModule(nn.Module):
     def encode(self, txt_tokens, mel2ph, f0, **kwargs) -> jnp.ndarray:
         return self.fs2(txt_tokens, mel2ph, f0, **kwargs)
 
-    def denoise(self, x, t, cond) -> jnp.ndarray:
-        return self.denoiser(x, t, cond)
+    def denoise(self, x, t, cond, cond_proj=None) -> jnp.ndarray:
+        return self.denoiser(x, t, cond, cond_proj=cond_proj)
 
     def aux(self, cond, infer: bool = True, deterministic: bool = True) -> jnp.ndarray:
         return self.aux_decoder(cond, infer=infer, deterministic=deterministic)
@@ -215,8 +215,16 @@ class DiffSingerAcoustic:
             else:
                 src_spec = self.spec_transform.norm(aux_mel)
 
+        # the condition is step-invariant: hoist the per-layer projections out
+        # of the sampler scan (see backbones.precompute_cond_projections)
+        cond_projs = precompute_cond_projections(
+            params["params"]["denoiser"], cond, dtype=self.module.dtype
+        )
+
         def denoise(x, t):
-            return self.module.apply(params, x, t, cond, method="denoise")
+            return self.module.apply(
+                params, x, t, cond, cond_proj=cond_projs, method="denoise"
+            )
 
         if self.diffusion_type == "ddpm":
             x = ddpm_core.inference(
@@ -371,11 +379,11 @@ class VarianceModule(nn.Module):
                 ) * keep
         return var_cond
 
-    def denoise_pitch(self, x, t, cond):
-        return self.pitch_denoiser(x, t, cond)
+    def denoise_pitch(self, x, t, cond, cond_proj=None):
+        return self.pitch_denoiser(x, t, cond, cond_proj=cond_proj)
 
-    def denoise_variance(self, x, t, cond):
-        return self.variance_denoiser(x, t, cond)
+    def denoise_variance(self, x, t, cond, cond_proj=None):
+        return self.variance_denoiser(x, t, cond, cond_proj=cond_proj)
 
     def __call__(self, txt_tokens, midi, ph2word, ph_dur, mel2ph, base_pitch, pitch, variances):
         """Init-path: touch every parameterized branch."""
@@ -587,7 +595,6 @@ class DiffSingerVariance:
         )
 
         rng_p, rng_v = jax.random.split(rng)
-        pitch_fn, var_fn = self._denoise_fns(params)
         pitch_pred = None
         if do_pitch:
             melody_frame = None
@@ -605,8 +612,17 @@ class DiffSingerVariance:
                 pitch_retake=pitch_retake, melody_frame=melody_frame,
                 delta_pitch_in=delta_pitch_in, method="pitch_condition",
             )
+            pitch_proj = precompute_cond_projections(
+                params["params"]["pitch_denoiser"], pitch_cond, dtype=self.module.dtype
+            )
+
+            def pitch_step(x, t):
+                return self.module.apply(
+                    params, x, t, pitch_cond, cond_proj=pitch_proj, method="denoise_pitch"
+                )
+
             shape = jnp.zeros(pitch_cond.shape[:2] + (self.pitch_transform.repeat_bins,))
-            x = self._infer_core(lambda x, t: pitch_fn(x, t, pitch_cond), shape, rng_p, steps)
+            x = self._infer_core(pitch_step, shape, rng_p, steps)
             pitch_pred = self.pitch_transform.denorm(x)
 
         variances_pred = {}
@@ -617,10 +633,19 @@ class DiffSingerVariance:
                 params, condition, pitch, variances or {}, variance_retake,
                 method="variance_condition",
             )
+            var_proj = precompute_cond_projections(
+                params["params"]["variance_denoiser"], var_cond, dtype=self.module.dtype
+            )
+
+            def var_step(x, t):
+                return self.module.apply(
+                    params, x, t, var_cond, cond_proj=var_proj, method="denoise_variance"
+                )
+
             f = len(self.var_list)
             rb = self.variance_transform.repeat_bins
             shape = jnp.zeros(var_cond.shape[:2] + (f * rb,))
-            x = self._infer_core(lambda x, t: var_fn(x, t, var_cond), shape, rng_v, steps)
+            x = self._infer_core(var_step, shape, rng_v, steps)
             outs = self.variance_transform.denorm(self.variance_transform.unflatten(x))
             variances_pred = {v: o for v, o in zip(self.var_list, outs)}
 
