@@ -78,14 +78,23 @@ class BaseExporter:
 
 
 class DiffSingerAcousticExporter(BaseExporter):
+    DEFAULT_BUCKETS = ((64, 512),)
+
     def __init__(self, hparams, export_dir, ckpt_steps: Optional[int] = None,
-                 expose_gender=False, expose_velocity=False, freeze_spk=None):
+                 expose_gender=False, expose_velocity=False, freeze_spk=None,
+                 buckets=None):
         super().__init__(hparams, export_dir)
         from diffsinger_tpu.inference.ds_acoustic import DiffSingerAcousticInfer
 
         self.infer = DiffSingerAcousticInfer(hparams, load_vocoder=False, ckpt_steps=ckpt_steps)
         self.model = self.infer.model
         self.params = self.infer.params
+        # (t_txt, t_mel) shape set; StableHLO is fixed-shape, so a serving
+        # runtime picks the smallest bucket that fits (the reference sidesteps
+        # this with ONNX dynamic axes; here each bucket is one artifact).
+        # The first bucket keeps unsuffixed filenames for compatibility.
+        self.buckets = [tuple(b) for b in (buckets or self.DEFAULT_BUCKETS)]
+        self.bucket_files: dict = {}
 
     def export_model(self):
         import jax
@@ -93,10 +102,8 @@ class DiffSingerAcousticExporter(BaseExporter):
 
         hp = self.hparams
         model = self.model
-        t_txt, t_mel = 64, 512  # representative bucket; re-export per bucket set
-        tokens = jnp.zeros((1, t_txt), jnp.int32)
-        mel2ph = jnp.zeros((1, t_mel), jnp.int32)
-        f0 = jnp.full((1, t_mel), 220.0, jnp.float32)
+        name = hp["exp_name"] or "acoustic"
+        steps = hp.get("sampling_steps", 20)
 
         def fs2_aux(params, tokens, mel2ph, f0):
             cond = model.module.apply(params, tokens, mel2ph, f0, method="encode")
@@ -105,19 +112,26 @@ class DiffSingerAcousticExporter(BaseExporter):
                 aux = model.module.apply(params, cond, infer=True, method="aux")
             return cond, aux
 
-        self._serialize(fs2_aux, (self.params, tokens, mel2ph, f0),
-                        self.export_dir / f"{hp['exp_name'] or 'acoustic'}.fs2_aux.stablehlo")
-
-        steps = hp.get("sampling_steps", 20)
-
         def sampler(params, rng, tokens, mel2ph, f0):
             out = model.forward_infer(params, rng, tokens, mel2ph, f0, steps=steps)
             return out.diff_out
 
-        self._serialize(
-            sampler, (self.params, jax.random.PRNGKey(0), tokens, mel2ph, f0),
-            self.export_dir / f"{hp['exp_name'] or 'acoustic'}.diffusion.stablehlo",
-        )
+        for i, (t_txt, t_mel) in enumerate(self.buckets):
+            suffix = "" if i == 0 else f".b{t_txt}x{t_mel}"
+            tokens = jnp.zeros((1, t_txt), jnp.int32)
+            mel2ph = jnp.zeros((1, t_mel), jnp.int32)
+            f0 = jnp.full((1, t_mel), 220.0, jnp.float32)
+            fs2_file = f"{name}.fs2_aux{suffix}.stablehlo"
+            diff_file = f"{name}.diffusion{suffix}.stablehlo"
+            self._serialize(fs2_aux, (self.params, tokens, mel2ph, f0),
+                            self.export_dir / fs2_file)
+            self._serialize(
+                sampler, (self.params, jax.random.PRNGKey(0), tokens, mel2ph, f0),
+                self.export_dir / diff_file,
+            )
+            self.bucket_files[f"{t_txt}x{t_mel}"] = {
+                "fs2_aux": fs2_file, "acoustic": diff_file,
+            }
 
     def export_attachments(self):
         hp = self.hparams
@@ -140,6 +154,7 @@ class DiffSingerAcousticExporter(BaseExporter):
             "use_shallow_diffusion": hp.get("use_shallow_diffusion", False),
             "max_depth": hp.get("K_step_infer", hp.get("K_step", 1000)),
             "speakers": sorted(self.infer.spk_map) if self.infer.spk_map else [],
+            "buckets": self.bucket_files,
         }
         with open(self.export_dir / "dsconfig.yaml", "w") as f:
             yaml.safe_dump(manifest, f)
@@ -151,13 +166,18 @@ class DiffSingerAcousticExporter(BaseExporter):
 
 
 class DiffSingerVarianceExporter(BaseExporter):
-    def __init__(self, hparams, export_dir, ckpt_steps: Optional[int] = None):
+    DEFAULT_BUCKETS = ((64, 512),)
+
+    def __init__(self, hparams, export_dir, ckpt_steps: Optional[int] = None,
+                 buckets=None):
         super().__init__(hparams, export_dir)
         from diffsinger_tpu.inference.ds_variance import DiffSingerVarianceInfer
 
         self.infer = DiffSingerVarianceInfer(hparams, ckpt_steps=ckpt_steps, predictions=set())
         self.model = self.infer.model
         self.params = self.infer.params
+        self.buckets = [tuple(b) for b in (buckets or self.DEFAULT_BUCKETS)]
+        self.bucket_files: dict = {}
 
     def export_model(self):
         import jax
@@ -166,13 +186,6 @@ class DiffSingerVarianceExporter(BaseExporter):
         hp = self.hparams
         model = self.model
         name = hp["exp_name"] or "variance"
-        t_ph, t_mel = 64, 512
-        tokens = jnp.zeros((1, t_ph), jnp.int32)
-        midi = jnp.zeros((1, t_ph), jnp.int32)
-        ph2word = jnp.zeros((1, t_ph), jnp.int32)
-        ph_dur = jnp.ones((1, t_ph), jnp.float32)
-        word_dur = jnp.ones((1, t_ph), jnp.float32)
-        base_pitch = jnp.full((1, t_mel), 60.0, jnp.float32)
 
         # linguistic + duration view (encoder + dur predictor)
         def linguistic_dur(params, tokens, midi, ph2word, word_dur):
@@ -181,26 +194,34 @@ class DiffSingerVarianceExporter(BaseExporter):
             )
             return enc, dur
 
-        self._serialize(linguistic_dur, (self.params, tokens, midi, ph2word, word_dur),
-                        self.export_dir / f"{name}.linguistic_dur.stablehlo")
-
-        # pitch / variance predictors as full sampler views
-        if model.predict_pitch:
-            mel2ph = jnp.ones((1, t_mel), jnp.int32)
-
-            def pitch_view(params, rng, tokens, midi, ph2word, ph_dur, mel2ph, base_pitch):
-                dur_pred, pitch_pred, _ = model.forward_infer(
-                    params, rng, tokens, midi, ph2word, base_pitch,
-                    ph_dur=ph_dur, mel2ph=mel2ph, predict_variances=False,
-                )
-                return pitch_pred
-
-            self._serialize(
-                pitch_view,
-                (self.params, jax.random.PRNGKey(0), tokens, midi, ph2word, ph_dur,
-                 mel2ph, base_pitch),
-                self.export_dir / f"{name}.pitch.stablehlo",
+        def pitch_view(params, rng, tokens, midi, ph2word, ph_dur, mel2ph, base_pitch):
+            dur_pred, pitch_pred, _ = model.forward_infer(
+                params, rng, tokens, midi, ph2word, base_pitch,
+                ph_dur=ph_dur, mel2ph=mel2ph, predict_variances=False,
             )
+            return pitch_pred
+
+        for i, (t_ph, t_mel) in enumerate(self.buckets):
+            suffix = "" if i == 0 else f".b{t_ph}x{t_mel}"
+            tokens = jnp.zeros((1, t_ph), jnp.int32)
+            midi = jnp.zeros((1, t_ph), jnp.int32)
+            ph2word = jnp.zeros((1, t_ph), jnp.int32)
+            ph_dur = jnp.ones((1, t_ph), jnp.float32)
+            word_dur = jnp.ones((1, t_ph), jnp.float32)
+            base_pitch = jnp.full((1, t_mel), 60.0, jnp.float32)
+            files = {"linguistic": f"{name}.linguistic_dur{suffix}.stablehlo"}
+            self._serialize(linguistic_dur, (self.params, tokens, midi, ph2word, word_dur),
+                            self.export_dir / files["linguistic"])
+            if model.predict_pitch:
+                mel2ph = jnp.ones((1, t_mel), jnp.int32)
+                files["pitch"] = f"{name}.pitch{suffix}.stablehlo"
+                self._serialize(
+                    pitch_view,
+                    (self.params, jax.random.PRNGKey(0), tokens, midi, ph2word, ph_dur,
+                     mel2ph, base_pitch),
+                    self.export_dir / files["pitch"],
+                )
+            self.bucket_files[f"{t_ph}x{t_mel}"] = files
 
     def export_attachments(self):
         hp = self.hparams
@@ -214,6 +235,7 @@ class DiffSingerVarianceExporter(BaseExporter):
             "sample_rate": hp["audio_sample_rate"],
             "hop_size": hp["hop_size"],
             "speakers": sorted(self.infer.spk_map) if self.infer.spk_map else [],
+            "buckets": self.bucket_files,
         }
         with open(self.export_dir / "dsconfig.yaml", "w") as f:
             yaml.safe_dump(manifest, f)
@@ -224,24 +246,29 @@ class DiffSingerVarianceExporter(BaseExporter):
 
 
 class NSFHiFiGANExporter(BaseExporter):
-    def __init__(self, hparams, export_dir):
+    DEFAULT_BUCKETS = (512,)
+
+    def __init__(self, hparams, export_dir, buckets=None):
         super().__init__(hparams, export_dir)
         from diffsinger_tpu.vocoders.nsf_hifigan import NsfHifiGAN
 
         self.vocoder = NsfHifiGAN(hparams)
+        self.buckets = [int(b) for b in (buckets or self.DEFAULT_BUCKETS)]
+        self.bucket_files: dict = {}
 
     def export_model(self):
         import jax.numpy as jnp
 
-        t_mel = 512
-        mel = jnp.zeros((1, t_mel, self.vocoder.config.num_mels), jnp.float32)
-        f0 = jnp.full((1, t_mel), 220.0, jnp.float32)
-
         def voc(params, mel, f0):
             return self.vocoder.model.apply(params, mel, f0)
 
-        self._serialize(voc, (self.vocoder.params, mel, f0),
-                        self.export_dir / "nsf_hifigan.stablehlo")
+        for i, t_mel in enumerate(self.buckets):
+            suffix = "" if i == 0 else f".b{t_mel}"
+            mel = jnp.zeros((1, t_mel, self.vocoder.config.num_mels), jnp.float32)
+            f0 = jnp.full((1, t_mel), 220.0, jnp.float32)
+            fname = f"nsf_hifigan{suffix}.stablehlo"
+            self._serialize(voc, (self.vocoder.params, mel, f0), self.export_dir / fname)
+            self.bucket_files[str(t_mel)] = fname
 
     def export_attachments(self):
         cfg = self.vocoder.config
@@ -252,6 +279,7 @@ class NSFHiFiGANExporter(BaseExporter):
             "hop_size": cfg.hop_size,
             "num_mel_bins": cfg.num_mels,
             "mel_base": "e",
+            "buckets": self.bucket_files,
         }
         with open(self.export_dir / "vocoder.yaml", "w") as f:
             yaml.safe_dump(manifest, f)

@@ -30,6 +30,17 @@ def _load_hp(exp, acoustic=True):
     return migrate_legacy_hparams(hp, infer_acoustic=acoustic)
 
 
+def _parse_buckets(value):
+    """'64x512,128x1024' -> [(64, 512), (128, 1024)]; '256,512' -> [256, 512]."""
+    if not value:
+        return None
+    buckets = []
+    for part in value.split(","):
+        dims = [int(d) for d in part.strip().split("x")]
+        buckets.append(tuple(dims) if len(dims) > 1 else dims[0])
+    return buckets
+
+
 @main.command(help="Export DiffSinger acoustic model")
 @click.option("--exp", type=str, required=True, callback=lambda c, p, v: find_exp(v))
 @click.option("--ckpt", type=click.IntRange(min=0), required=False)
@@ -37,7 +48,9 @@ def _load_hp(exp, acoustic=True):
 @click.option("--expose_gender", is_flag=True)
 @click.option("--expose_velocity", is_flag=True)
 @click.option("--freeze_spk", type=str, required=False)
-def acoustic(exp, ckpt, out, expose_gender, expose_velocity, freeze_spk):
+@click.option("--buckets", type=str, required=False,
+              help="shape set, e.g. '64x512,128x1024' (t_txt x t_mel per bucket)")
+def acoustic(exp, ckpt, out, expose_gender, expose_velocity, freeze_spk, buckets):
     hp = _load_hp(exp, acoustic=True)
     out = out or (root_dir / "artifacts" / exp)
     from diffsinger_tpu.deployment.exporters import DiffSingerAcousticExporter
@@ -45,6 +58,7 @@ def acoustic(exp, ckpt, out, expose_gender, expose_velocity, freeze_spk):
     DiffSingerAcousticExporter(
         hp, out, ckpt_steps=ckpt,
         expose_gender=expose_gender, expose_velocity=expose_velocity, freeze_spk=freeze_spk,
+        buckets=_parse_buckets(buckets),
     ).export()
 
 
@@ -52,26 +66,31 @@ def acoustic(exp, ckpt, out, expose_gender, expose_velocity, freeze_spk):
 @click.option("--exp", type=str, required=True, callback=lambda c, p, v: find_exp(v))
 @click.option("--ckpt", type=click.IntRange(min=0), required=False)
 @click.option("--out", type=click.Path(file_okay=False, path_type=pathlib.Path), required=False)
-def variance(exp, ckpt, out):
+@click.option("--buckets", type=str, required=False,
+              help="shape set, e.g. '64x512,128x1024' (t_ph x t_mel per bucket)")
+def variance(exp, ckpt, out, buckets):
     hp = _load_hp(exp, acoustic=False)
     out = out or (root_dir / "artifacts" / exp)
     from diffsinger_tpu.deployment.exporters import DiffSingerVarianceExporter
 
-    DiffSingerVarianceExporter(hp, out, ckpt_steps=ckpt).export()
+    DiffSingerVarianceExporter(hp, out, ckpt_steps=ckpt,
+                               buckets=_parse_buckets(buckets)).export()
 
 
 @main.command(name="nsf-hifigan", help="Export NSF-HiFiGAN vocoder")
 @click.option("--config", type=click.Path(exists=True, dir_okay=False, path_type=pathlib.Path),
               required=True, help="config file with vocoder_ckpt")
 @click.option("--out", type=click.Path(file_okay=False, path_type=pathlib.Path), required=False)
-def nsf_hifigan(config, out):
+@click.option("--buckets", type=str, required=False,
+              help="mel-length set, e.g. '256,512,1024'")
+def nsf_hifigan(config, out, buckets):
     from diffsinger_tpu.config import load_config
 
     hp = load_config(config, infer=True)
     out = out or (root_dir / "artifacts" / "nsf_hifigan")
     from diffsinger_tpu.deployment.exporters import NSFHiFiGANExporter
 
-    NSFHiFiGANExporter(hp, out).export()
+    NSFHiFiGANExporter(hp, out, buckets=_parse_buckets(buckets)).export()
 
 
 if __name__ == "__main__":

@@ -63,3 +63,55 @@ def test_acoustic_export_roundtrip(tmp_path):
     ).diff_out
     np.testing.assert_allclose(np.asarray(mel_exported), np.asarray(mel_live),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_acoustic_export_bucket_set(tmp_path):
+    """StableHLO is fixed-shape; the exporter emits one artifact per bucket
+    and records the bucket table in dsconfig.yaml."""
+    import yaml
+
+    hp = _make_exp(
+        tmp_path, "/root/reference/configs/acoustic.yaml",
+        dict(
+            TINY_COMMON,
+            audio_num_mel_bins=16,
+            backbone_args=dict(num_channels=32, num_layers=1, kernel_size=7,
+                               dropout_rate=0.0, strong_cond=True),
+            use_shallow_diffusion=False,
+        ),
+        "tiny_export_buckets",
+    )
+    hp["infer"] = True
+
+    from diffsinger_tpu.models.toplevel import DiffSingerAcoustic
+    from diffsinger_tpu.utils.ckpt import checkpoint_path, save_checkpoint
+    from diffsinger_tpu.utils.text import load_phoneme_dictionary
+
+    vocab = len(load_phoneme_dictionary(hp))
+    model = DiffSingerAcoustic(hp, vocab_size=vocab, out_dims=16)
+    params = model.init(jax.random.PRNGKey(0))
+    save_checkpoint(checkpoint_path(hp["work_dir"], 100), params,
+                    category="acoustic", global_step=100)
+
+    from diffsinger_tpu.deployment.exporters import DiffSingerAcousticExporter
+
+    out_dir = tmp_path / "artifacts"
+    exporter = DiffSingerAcousticExporter(hp, out_dir, buckets=[(16, 128), (32, 256)])
+    exporter.export()
+
+    with open(out_dir / "dsconfig.yaml") as f:
+        manifest = yaml.safe_load(f)
+    assert set(manifest["buckets"]) == {"16x128", "32x256"}
+
+    from jax import export as jexport
+
+    for key, (t_txt, t_mel) in [("16x128", (16, 128)), ("32x256", (32, 256))]:
+        path = out_dir / manifest["buckets"][key]["acoustic"]
+        assert path.exists()
+        exp = jexport.deserialize(path.read_bytes())
+        tokens = jnp.zeros((1, t_txt), jnp.int32).at[0, :4].set(jnp.arange(1, 5))
+        mel2ph = jnp.zeros((1, t_mel), jnp.int32).at[0, :100].set(1)
+        f0 = jnp.full((1, t_mel), 220.0, jnp.float32)
+        mel = exp.call(exporter.params, jax.random.PRNGKey(3), tokens, mel2ph, f0)
+        assert mel.shape == (1, t_mel, 16)
+        assert bool(jnp.isfinite(mel).all())
