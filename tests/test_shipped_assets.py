@@ -158,3 +158,22 @@ def test_variance_score_only_auto_completion(tmp_path):
     assert len(out[0]["ph_dur"].split()) == len(segments[0]["ph_seq"].split())
     f0 = np.asarray(out[0]["f0_seq"].split(), np.float32)
     assert (f0 > 0).all()
+
+
+def test_multi_language_dictionaries():
+    """Both shipped dictionaries combine into one multi-language vocabulary
+    with lang/phoneme tags and shared cross-lingual phonemes."""
+    from diffsinger_tpu.utils.text import PhonemeDictionary
+
+    pd = PhonemeDictionary(
+        {"zh": DICT, "ja": REPO / "dictionaries" / "demo-romaji.txt"},
+        merged_groups=[["zh/a", "ja/a"]],
+    )
+    ids = pd.encode("AP zh/x zh/ing SP ja/k ja/a", lang="zh")
+    assert (np.asarray(ids) > 0).all()
+    # merged group: zh/a and ja/a share one id
+    merged = pd.encode("zh/a ja/a")
+    assert merged[0] == merged[1]
+    # unmerged phonemes stay language-distinct
+    distinct = pd.encode("zh/i ja/i")
+    assert distinct[0] != distinct[1]
