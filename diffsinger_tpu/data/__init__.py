@@ -1,0 +1,1 @@
+"""diffsinger_tpu data package."""
