@@ -115,3 +115,66 @@ def test_acoustic_export_bucket_set(tmp_path):
         mel = exp.call(exporter.params, jax.random.PRNGKey(3), tokens, mel2ph, f0)
         assert mel.shape == (1, t_mel, 16)
         assert bool(jnp.isfinite(mel).all())
+
+
+def test_artifact_runtime_bucket_dispatch(tmp_path):
+    """AcousticArtifactRuntime picks the smallest fitting bucket, pads, runs
+    the deserialized artifact, and trims — matching the direct padded call."""
+    hp = _make_exp(
+        tmp_path, "/root/reference/configs/acoustic.yaml",
+        dict(
+            TINY_COMMON,
+            audio_num_mel_bins=16,
+            backbone_args=dict(num_channels=32, num_layers=1, kernel_size=7,
+                               dropout_rate=0.0, strong_cond=True),
+            use_shallow_diffusion=False,
+        ),
+        "tiny_runtime",
+    )
+    hp["infer"] = True
+
+    from diffsinger_tpu.models.toplevel import DiffSingerAcoustic
+    from diffsinger_tpu.utils.ckpt import checkpoint_path, save_checkpoint
+    from diffsinger_tpu.utils.text import load_phoneme_dictionary
+
+    vocab = len(load_phoneme_dictionary(hp))
+    model = DiffSingerAcoustic(hp, vocab_size=vocab, out_dims=16)
+    params = model.init(jax.random.PRNGKey(0))
+    save_checkpoint(checkpoint_path(hp["work_dir"], 100), params,
+                    category="acoustic", global_step=100)
+
+    from diffsinger_tpu.deployment.exporters import DiffSingerAcousticExporter
+    from diffsinger_tpu.deployment.runtime import AcousticArtifactRuntime
+
+    out_dir = tmp_path / "artifacts"
+    exporter = DiffSingerAcousticExporter(hp, out_dir, buckets=[(16, 128), (32, 256)])
+    exporter.export()
+
+    rt = AcousticArtifactRuntime(out_dir, exporter.params)
+    tokens = np.zeros((1, 10), np.int32)
+    tokens[0, :4] = np.arange(1, 5)
+    mel2ph = np.zeros((1, 100), np.int32)
+    mel2ph[0, :80] = 1
+    f0 = np.full((1, 100), 220.0, np.float32)
+    mel = rt.synthesize_mel(tokens, mel2ph, f0, seed=5)
+    assert mel.shape == (1, 100, 16)
+
+    # must equal calling the 16x128 artifact directly with padded inputs
+    from jax import export as jexport
+
+    import yaml
+    with open(out_dir / "dsconfig.yaml") as f:
+        manifest = yaml.safe_load(f)
+    exp = jexport.deserialize(
+        (out_dir / manifest["buckets"]["16x128"]["acoustic"]).read_bytes())
+    tok_p = np.zeros((1, 16), np.int32); tok_p[:, :10] = tokens
+    m2p_p = np.zeros((1, 128), np.int32); m2p_p[:, :100] = mel2ph
+    f0_p = np.full((1, 128), 220.0, np.float32); f0_p[:, :100] = f0
+    golden = exp.call(exporter.params, jax.random.PRNGKey(5), tok_p, m2p_p, f0_p)
+    np.testing.assert_allclose(mel, np.asarray(golden)[:, :100], atol=1e-5)
+
+    # too-long inputs are rejected with the available buckets listed
+    with pytest.raises(ValueError, match="no exported bucket"):
+        rt.synthesize_mel(np.zeros((1, 40), np.int32),
+                          np.zeros((1, 300), np.int32),
+                          np.full((1, 300), 220.0, np.float32))
