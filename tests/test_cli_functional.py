@@ -1,0 +1,99 @@
+"""Functional CLI tests: drop_spk.py checkpoint surgery and vocode.py
+mel->wav, run end to end via subprocess (reference scripts/drop_spk.py,
+scripts/vocode.py behavior)."""
+
+import pathlib
+import subprocess
+import sys
+
+import numpy as np
+import yaml
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def _run(*argv):
+    return subprocess.run(
+        [sys.executable, *argv],
+        capture_output=True, text=True, timeout=600,
+        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": str(REPO), "HOME": "/root"},
+        cwd=str(REPO),
+    )
+
+
+def test_drop_spk_modes(tmp_path):
+    from flax import serialization
+
+    from diffsinger_tpu.utils.ckpt import load_checkpoint
+
+    rng = np.random.default_rng(0)
+    table = rng.standard_normal((4, 8)).astype(np.float32)
+    blob = {
+        "category": "acoustic", "global_step": 1,
+        "params": {"fs2": {"spk_embed": {"embedding": table.copy()}}},
+    }
+    src = tmp_path / "in.dsckpt"
+    src.write_bytes(serialization.msgpack_serialize(blob))
+
+    # zeros mode
+    out = tmp_path / "zeros.dsckpt"
+    r = _run("scripts/drop_spk.py", str(src), str(out), "--spk", "1", "--mode", "zeros")
+    assert r.returncode == 0, r.stderr
+    edited = np.asarray(load_checkpoint(out)["params"]["fs2"]["spk_embed"]["embedding"])
+    assert (edited[1] == 0).all()
+    np.testing.assert_array_equal(edited[0], table[0])
+
+    # mean mode: row 2 becomes the mean of the others
+    out = tmp_path / "mean.dsckpt"
+    r = _run("scripts/drop_spk.py", str(src), str(out), "--spk", "2", "--mode", "mean")
+    assert r.returncode == 0, r.stderr
+    edited = np.asarray(load_checkpoint(out)["params"]["fs2"]["spk_embed"]["embedding"])
+    np.testing.assert_allclose(edited[2], table[[0, 1, 3]].mean(axis=0), atol=1e-6)
+
+    # cyclic mode: row copied from another speaker
+    out = tmp_path / "cyc.dsckpt"
+    r = _run("scripts/drop_spk.py", str(src), str(out), "--spk", "3", "--mode", "cyclic")
+    assert r.returncode == 0, r.stderr
+    edited = np.asarray(load_checkpoint(out)["params"]["fs2"]["spk_embed"]["embedding"])
+    np.testing.assert_array_equal(edited[3], table[0])
+
+
+def test_vocode_cli_mel_to_wav(tmp_path):
+    import wave
+
+    # config pointing at a missing vocoder ckpt -> random-weight generator
+    cfg = {
+        "audio_sample_rate": 44100, "hop_size": 512, "win_size": 2048,
+        "fft_size": 2048, "audio_num_mel_bins": 16, "fmin": 40, "fmax": 16000,
+        "mel_base": "e", "vocoder": "NsfHifiGAN",
+        "vocoder_ckpt": str(tmp_path / "missing.ckpt"),
+    }
+    # a config.json beside the "checkpoint" describes a tiny generator
+    voc_config = {
+        "num_mels": 16, "sampling_rate": 44100, "hop_size": 512, "win_size": 2048,
+        "n_fft": 2048, "fmin": 40, "fmax": 16000, "audio_sample_rate": 44100,
+        "upsample_rates": [8, 8, 8], "upsample_kernel_sizes": [16, 16, 16],
+        "upsample_initial_channel": 32,
+        "resblock": "1", "resblock_kernel_sizes": [3],
+        "resblock_dilation_sizes": [[1, 3, 5]],
+    }
+    import json
+    (tmp_path / "config.json").write_text(json.dumps(voc_config))
+    cfg_path = tmp_path / "voc.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    t = 64
+    mel = np.random.default_rng(1).standard_normal((t, 16)).astype(np.float32) - 6
+    f0 = np.full((t,), 220.0, np.float32)
+    mel_path = tmp_path / "song.mel.npz"
+    np.savez(mel_path, num_segments=1, mel_0=mel, f0_0=f0, offset_0=0.25)
+
+    r = _run("scripts/vocode.py", str(mel_path), "--config", str(cfg_path),
+             "--out", str(tmp_path / "out"))
+    assert r.returncode == 0, r.stderr
+    with wave.open(str(tmp_path / "out" / "song.wav")) as f:
+        assert f.getframerate() == 44100
+        # 0.25 s silence offset + t * hop samples
+        assert f.getnframes() == round(0.25 * 44100) + t * 512
