@@ -202,14 +202,18 @@ class DiffSingerAcoustic:
         noise: Optional[jnp.ndarray] = None, **kwargs,
     ) -> ShallowDiffusionOutput:
         """Inference forward (toplevel.py:93-105): aux draft + sampler."""
+        from diffsinger_tpu.utils.profiling import trace_annotation
+
         hp = self.hp
-        cond = self.module.apply(params, txt_tokens, mel2ph, f0, method="encode", **kwargs)
+        with trace_annotation("acoustic/encode"):
+            cond = self.module.apply(params, txt_tokens, mel2ph, f0, method="encode", **kwargs)
         frame_mask = (mel2ph > 0).astype(jnp.float32)[:, :, None]
 
         aux_mel = None
         src_spec = None
         if self.use_shallow_diffusion:
-            aux_mel = self.module.apply(params, cond, infer=True, method="aux") * frame_mask
+            with trace_annotation("acoustic/aux_draft"):
+                aux_mel = self.module.apply(params, cond, infer=True, method="aux") * frame_mask
             if gt_mel is not None and hp["shallow_diffusion_args"].get("val_gt_start", False):
                 src_spec = self.spec_transform.norm(gt_mel)
             else:
@@ -226,33 +230,34 @@ class DiffSingerAcoustic:
                 params, x, t, cond, cond_proj=cond_projs, method="denoise"
             )
 
-        if self.diffusion_type == "ddpm":
-            x = ddpm_core.inference(
-                denoise,
-                self.schedule,
-                jnp.zeros(cond.shape[:2] + (self.out_dims,)),
-                k_step=self.k_step,
-                depth=depth if depth is not None else hp.get("K_step_infer", self.k_step),
-                speedup=hp.get("diff_speedup", 10),
-                algorithm=hp.get("diff_accelerator", "ddim"),
-                rng=rng,
-                x_start=src_spec,
-                use_shallow_diffusion=self.use_shallow_diffusion,
-            )
-        else:
-            t0 = t_start_infer if t_start_infer is not None else hp.get("T_start_infer", self.t_start)
-            x = reflow_core.inference(
-                denoise,
-                jnp.zeros(cond.shape[:2] + (self.out_dims,)),
-                t_start=t0,
-                steps=steps if steps is not None else hp.get("sampling_steps", 20),
-                algorithm=hp.get("sampling_algorithm", "euler"),
-                time_scale_factor=self.time_scale_factor,
-                rng=rng,
-                x_end=src_spec,
-                use_shallow_diffusion=self.use_shallow_diffusion,
-                noise=noise,
-            )
+        with trace_annotation("acoustic/sampler"):
+            if self.diffusion_type == "ddpm":
+                x = ddpm_core.inference(
+                    denoise,
+                    self.schedule,
+                    jnp.zeros(cond.shape[:2] + (self.out_dims,)),
+                    k_step=self.k_step,
+                    depth=depth if depth is not None else hp.get("K_step_infer", self.k_step),
+                    speedup=hp.get("diff_speedup", 10),
+                    algorithm=hp.get("diff_accelerator", "ddim"),
+                    rng=rng,
+                    x_start=src_spec,
+                    use_shallow_diffusion=self.use_shallow_diffusion,
+                )
+            else:
+                t0 = t_start_infer if t_start_infer is not None else hp.get("T_start_infer", self.t_start)
+                x = reflow_core.inference(
+                    denoise,
+                    jnp.zeros(cond.shape[:2] + (self.out_dims,)),
+                    t_start=t0,
+                    steps=steps if steps is not None else hp.get("sampling_steps", 20),
+                    algorithm=hp.get("sampling_algorithm", "euler"),
+                    time_scale_factor=self.time_scale_factor,
+                    rng=rng,
+                    x_end=src_spec,
+                    use_shallow_diffusion=self.use_shallow_diffusion,
+                    noise=noise,
+                )
         mel = self.spec_transform.denorm(x) * frame_mask
         return ShallowDiffusionOutput(aux_out=aux_mel, diff_out=mel)
 

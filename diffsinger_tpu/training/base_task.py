@@ -223,6 +223,13 @@ class BaseTask:
         rng = jax.random.PRNGKey(hp.get("seed") or 0)
         bsh = batch_sharding(self.mesh)
 
+        # optional xprof capture (SURVEY.md §5.1): `profile_steps: N` in hparams
+        # (or train.py --profile N) traces N steps after warmup into
+        # work_dir/profile for xprof/tensorboard
+        profile_steps = int(hp.get("profile_steps", 0) or 0)
+        profile_start = int(state.step) + 3  # skip compile + warmup steps
+        profiling = False
+
         step = int(state.step)
         epoch = 0
         t_last = time.time()
@@ -257,9 +264,22 @@ class BaseTask:
                 key = tuple(sorted((k, v.shape) for k, v in batch.items()))
                 if key not in jitted:
                     jitted[key] = jax.jit(train_step, donate_argnums=0)
+                if profile_steps and not profiling and step >= profile_start:
+                    from jax import profiler as jax_profiler
+
+                    jax_profiler.start_trace(str(pathlib.Path(hp["work_dir"]) / "profile"))
+                    profiling = True
                 with self.mesh:
                     state, metrics = jitted[key](state, batch, rng)
                 step = int(state.step)
+                if profiling and step >= profile_start + profile_steps:
+                    from jax import profiler as jax_profiler
+
+                    jax.block_until_ready(state.params)
+                    jax_profiler.stop_trace()
+                    profiling = False
+                    profile_steps = 0
+                    print(f"| xprof trace saved to {hp['work_dir']}/profile")
 
                 if step % log_interval == 0:
                     metrics = {k: float(v) for k, v in metrics.items()}

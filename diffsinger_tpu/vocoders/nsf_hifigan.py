@@ -72,11 +72,14 @@ class NsfHifiGAN:
 
     def spec2wav_jax(self, mel: jnp.ndarray, f0: jnp.ndarray) -> jnp.ndarray:
         """mel [B, T, M] in the configured mel_base; f0 [B, T] -> wav [B, T*hop]."""
+        from diffsinger_tpu.utils.profiling import trace_annotation
+
         mel_base = self.hparams.get("mel_base", 10)
         if mel_base != "e":
             assert mel_base in (10, "10"), "mel_base must be 'e', '10' or 10."
             mel = 2.30259 * mel  # log10 -> ln
-        return self._jitted(self.params, mel, f0)
+        with trace_annotation("vocoder/nsf_hifigan"):
+            return self._jitted(self.params, mel, f0)
 
     def spec2wav(self, mel: np.ndarray, *, f0: np.ndarray, **kwargs) -> np.ndarray:
         """Single-item host API: mel [T, M], f0 [T] -> wav [T*hop] numpy."""

@@ -33,6 +33,9 @@ def main():
     parser.add_argument("--infer", action="store_true",
                         help="test mode: run validation over the valid set only "
                              "(reference basics/base_task.py:442-464)")
+    parser.add_argument("--profile", type=int, default=0, metavar="N",
+                        help="capture an xprof trace of N training steps "
+                             "(after warmup) into <work_dir>/profile")
     args = parser.parse_args()
 
     from diffsinger_tpu.config import load_config
@@ -41,6 +44,8 @@ def main():
         args.config, exp_name=args.exp_name, hparams_str=args.hparams,
         reset=args.reset, infer=args.infer, ckpt_root=root_dir / "checkpoints",
     )
+    if args.profile:
+        hp["profile_steps"] = args.profile
     if args.infer:
         from diffsinger_tpu.training.train_state import build_optimizer
         from diffsinger_tpu.utils import load_class_from_name, remap_reference_class_name

@@ -49,15 +49,18 @@ def test_acoustic_training_loop_and_resume(acoustic_setup):
     from diffsinger_tpu.training.acoustic_task import AcousticTask
     from diffsinger_tpu.utils.ckpt import list_checkpoints
 
+    hp = dict(hp, profile_steps=2)  # also exercise the xprof capture path
     task = AcousticTask(hp)
     state = task.start(max_steps=7)
     assert int(state.step) == 7
+    profile_dir = __import__("pathlib").Path(hp["work_dir"]) / "profile"
+    assert profile_dir.exists() and any(profile_dir.rglob("*")), "no xprof trace captured"
     ckpts = list_checkpoints(hp["work_dir"])
     assert ckpts, "no checkpoints written"
     assert ckpts[-1][0] == 7
 
-    # resume continues from the saved step
-    task2 = AcousticTask(hp)
+    # resume continues from the saved step (no profiling on the resume run)
+    task2 = AcousticTask(acoustic_setup)
     state2 = task2.start(max_steps=10)
     assert int(state2.step) == 10
     steps = [s for s, _ in list_checkpoints(hp["work_dir"])]
