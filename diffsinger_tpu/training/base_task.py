@@ -29,7 +29,7 @@ import numpy as np
 from diffsinger_tpu.data.batch_sampler import DsBatchSampler
 from diffsinger_tpu.parallel.mesh import batch_sharding, create_mesh, replicated_sharding
 from diffsinger_tpu.training.train_state import (
-    TrainState, build_optimizer, create_train_state, make_train_step,
+    TrainState, build_optimizer, create_train_state, make_train_step, optimizer_step,
 )
 from diffsinger_tpu.utils import ckpt as ckpt_utils
 from diffsinger_tpu.utils.text import load_phoneme_dictionary
@@ -166,8 +166,15 @@ class BaseTask:
                     print(f"| optimizer state not restored ({e}); reinitialized "
                           f"(LR schedule re-evaluates from the global step)")
             import jax.numpy as jnp
+            import optax
 
             state = state.replace(step=jnp.asarray(blob["meta"]["global_step"], jnp.int32))
+            if isinstance(state.opt_state, optax.MultiStepsState):
+                # keep the applied-update counter consistent with the saved
+                # global step even if the optimizer state failed to restore
+                state = state.replace(opt_state=state.opt_state._replace(
+                    gradient_step=jnp.asarray(blob["meta"]["global_step"], jnp.int32)
+                ))
             print(f"| resumed from {latest} at step {blob['meta']['global_step']}")
             return state
         if hp.get("finetune_enabled", False) and hp.get("finetune_ckpt_path"):
@@ -182,7 +189,7 @@ class BaseTask:
 
     def _save(self, state: TrainState):
         hp = self.hp
-        step = int(state.step)
+        step = optimizer_step(state)
         path = ckpt_utils.checkpoint_path(self.work_dir, step)
         ckpt_utils.save_checkpoint(
             path, jax.device_get(state.params), category=self.category,
@@ -227,10 +234,10 @@ class BaseTask:
         # (or train.py --profile N) traces N steps after warmup into
         # work_dir/profile for xprof/tensorboard
         profile_steps = int(hp.get("profile_steps", 0) or 0)
-        profile_start = int(state.step) + 3  # skip compile + warmup steps
+        profile_start = optimizer_step(state) + 3  # skip compile + warmup steps
         profiling = False
 
-        step = int(state.step)
+        step = optimizer_step(state)
         epoch = 0
         t_last = time.time()
         while step < max_updates:
@@ -271,7 +278,7 @@ class BaseTask:
                     profiling = True
                 with self.mesh:
                     state, metrics = jitted[key](state, batch, rng)
-                step = int(state.step)
+                step = optimizer_step(state)
                 if profiling and step >= profile_start + profile_steps:
                     from jax import profiler as jax_profiler
 
@@ -320,7 +327,7 @@ class BaseTask:
             for k, v in metrics.items():
                 losses_acc.setdefault(k, []).append(float(v))
             self.validation_extras(state, valid_ds, {"indices": idxs, **batch}, losses_acc)
-        step = int(state.step)
+        step = optimizer_step(state)
         for k, vals in losses_acc.items():
             self.logger.add_scalar(f"validation/{k}", float(np.mean(vals)), step)
         print(f"| validation @ {step}: " +

@@ -61,6 +61,17 @@ def create_train_state(params, tx) -> TrainState:
     return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params))
 
 
+def optimizer_step(state: TrainState) -> int:
+    """The number of OPTIMIZER updates applied, reference-`global_step`
+    semantics: with gradient accumulation (optax.MultiSteps), micro-batches
+    don't count — only applied updates do (Lightning counts the same way,
+    basics/base_task.py val_check_interval is in optimizer steps)."""
+    opt = state.opt_state
+    if isinstance(opt, optax.MultiStepsState):
+        return int(jax.device_get(opt.gradient_step))
+    return int(jax.device_get(state.step))
+
+
 def make_train_step(loss_fn, tx):
     """Generic SPMD train step: grads -> update -> new state.
 

@@ -138,3 +138,45 @@ def test_variance_train_step_runs():
     masks = np.asarray(random_retake_masks(jax.random.PRNGKey(0), 1000, 50))
     frac = masks.mean()
     assert 0.35 < frac < 0.65  # ~1/2 per the reference's design
+
+
+def test_grad_accumulation_step_semantics():
+    """accumulate_grad_batches=k: params update only every k-th micro-batch,
+    and optimizer_step counts applied updates (reference global_step
+    semantics), not micro-batches."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffsinger_tpu.training.train_state import (
+        build_optimizer, create_train_state, make_train_step, optimizer_step,
+    )
+
+    hp = dict(
+        optimizer_args=dict(optimizer_cls="torch.optim.AdamW", lr=0.1,
+                            beta1=0.9, beta2=0.98, weight_decay=0.0),
+        lr_scheduler_args=dict(scheduler_cls="torch.optim.lr_scheduler.StepLR",
+                               step_size=1000, gamma=0.5),
+        clip_grad_norm=0, accumulate_grad_batches=2,
+    )
+    tx, _ = build_optimizer(hp)
+
+    def loss_fn(params, batch, rng):
+        loss = jnp.sum((params["w"] - batch["target"]) ** 2)
+        return loss, {"loss": loss}
+
+    params = {"w": jnp.ones((4,))}
+    state = create_train_state(params, tx)
+    step_fn = jax.jit(make_train_step(loss_fn, tx))
+    batch = {"target": jnp.zeros((4,))}
+
+    assert optimizer_step(state) == 0
+    s1, _ = step_fn(state, batch, jax.random.PRNGKey(0))
+    # mid-accumulation: no update applied yet
+    assert optimizer_step(s1) == 0
+    assert jnp.allclose(s1.params["w"], params["w"])
+    s2, _ = step_fn(s1, batch, jax.random.PRNGKey(0))
+    # k-th micro-batch: update applied, counter advances by one
+    assert optimizer_step(s2) == 1
+    assert not jnp.allclose(s2.params["w"], params["w"])
+    # micro-batch counter kept separately (rng folding stays unique)
+    assert int(s2.step) == 2
