@@ -36,13 +36,16 @@ def main():
     parser.add_argument("--profile", type=int, default=0, metavar="N",
                         help="capture an xprof trace of N training steps "
                              "(after warmup) into <work_dir>/profile")
+    parser.add_argument("--ckpt_root", type=str, default="",
+                        help="checkpoints root directory (default: <repo>/checkpoints)")
     args = parser.parse_args()
 
     from diffsinger_tpu.config import load_config
 
     hp = load_config(
         args.config, exp_name=args.exp_name, hparams_str=args.hparams,
-        reset=args.reset, infer=args.infer, ckpt_root=root_dir / "checkpoints",
+        reset=args.reset, infer=args.infer,
+        ckpt_root=args.ckpt_root or (root_dir / "checkpoints"),
     )
     if args.profile:
         hp["profile_steps"] = args.profile

@@ -97,3 +97,55 @@ def test_vocode_cli_mel_to_wav(tmp_path):
         assert f.getframerate() == 44100
         # 0.25 s silence offset + t * hop samples
         assert f.getnframes() == round(0.25 * 44100) + t * 512
+
+
+def test_cli_pipeline_binarize_train(tmp_path):
+    """The user-facing pipeline through the actual CLI entry points:
+    binarize.py -> train.py (2 steps + resume-capable checkpoint), using a
+    config that chains onto the shipped configs/acoustic.yaml."""
+    from tests.test_binarize import _make_corpus
+
+    raw, dict_path = _make_corpus(tmp_path, n_items=3)
+    cfg = {
+        "base_config": ["configs/acoustic.yaml"],
+        "dictionary": str(dict_path),
+        "datasets": [{
+            "raw_data_dir": str(raw), "speaker": "synth", "language": "zh",
+            "test_prefixes": ["item0"],
+        }],
+        "binary_data_dir": str(tmp_path / "binary"),
+        "binarization_args": {"shuffle": False, "num_workers": 0},
+        "hnsep": "comb",
+        "hidden_size": 32, "enc_layers": 1, "audio_num_mel_bins": 16,
+        "backbone_args": {"num_channels": 32, "num_layers": 1, "kernel_size": 7,
+                          "dropout_rate": 0.0, "strong_cond": True},
+        "shallow_diffusion_args": {
+            "train_aux_decoder": True, "train_diffusion": True, "val_gt_start": False,
+            "aux_decoder_arch": "convnext",
+            "aux_decoder_args": {"num_channels": 16, "num_layers": 1,
+                                 "kernel_size": 7, "dropout_rate": 0.1},
+            "aux_decoder_grad": 0.1,
+        },
+        "max_batch_frames": 4000, "max_batch_size": 8, "max_val_batch_size": 1,
+        "log_interval": 1, "val_check_interval": 100, "num_valid_plots": 0,
+        "val_with_vocoder": False,
+        "vocoder_ckpt": str(tmp_path / "missing_vocoder.ckpt"),
+    }
+    cfg_path = tmp_path / "exp.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    r = _run("scripts/binarize.py", "--config", str(cfg_path))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp_path / "binary" / "train.data").exists()
+
+    ckpt_root = tmp_path / "ckpts"
+    r = _run("scripts/train.py", "--config", str(cfg_path), "--exp_name", "cli_exp",
+             "--ckpt_root", str(ckpt_root), "--max_steps", "2")
+    assert r.returncode == 0, r.stderr[-2000:]
+    work_dir = ckpt_root / "cli_exp"
+    assert (work_dir / "config.yaml").exists()  # work-dir snapshot
+    from diffsinger_tpu.utils.ckpt import list_checkpoints
+
+    ckpts = list_checkpoints(work_dir)
+    assert ckpts and ckpts[-1][0] == 2, ckpts
