@@ -113,6 +113,17 @@ def test_acoustic_sample_to_wav(tmp_path):
         assert f.getframerate() == 44100
         assert f.getnframes() > 4.5 * 44100  # offset 0.5 + 4.5 s of content
 
+    # --mel workflow: save the mel bundle instead of vocoding (consumed by
+    # scripts/vocode.py; format checked by test_cli_functional)
+    infer_ins.run_inference(segments, out_dir=out_dir, title="shipped_mel",
+                            seed=1, steps=2, save_mel=True)
+    data = np.load(out_dir / "shipped_mel.mel.npz")
+    assert int(data["num_segments"]) == 1
+    mel0, f00 = data["mel_0"], data["f0_0"]
+    assert mel0.ndim == 2 and mel0.shape[1] == 16
+    assert f00.shape[0] == mel0.shape[0]
+    assert float(data["offset_0"]) == segments[0]["offset"]
+
 
 def test_variance_score_only_auto_completion(tmp_path):
     from diffsinger_tpu.inference.ds_variance import DiffSingerVarianceInfer
