@@ -149,3 +149,47 @@ def test_cli_pipeline_binarize_train(tmp_path):
 
     ckpts = list_checkpoints(work_dir)
     assert ckpts and ckpts[-1][0] == 2, ckpts
+
+
+def test_val_nsf_hifigan_copysynth(tmp_path):
+    """wav -> mel+f0 -> vocoder -> wav via the actual CLI (random vocoder
+    weights: only the pipeline, shapes, and output length are checked)."""
+    import json
+    import wave
+
+    from diffsinger_tpu.utils.infer_utils import save_wav
+
+    sr, hop = 44100, 512
+    t = np.arange(int(sr * 0.4)) / sr
+    y = (0.3 * np.sin(2 * np.pi * 220.0 * t)).astype(np.float32)
+    wav_path = tmp_path / "tone.wav"
+    save_wav(y, wav_path, sr)
+
+    voc_config = {
+        "num_mels": 16, "sampling_rate": sr, "hop_size": hop, "win_size": 2048,
+        "n_fft": 2048, "fmin": 40, "fmax": 16000, "audio_sample_rate": sr,
+        "upsample_rates": [8, 8, 8], "upsample_kernel_sizes": [16, 16, 16],
+        "upsample_initial_channel": 32,
+        "resblock": "1", "resblock_kernel_sizes": [3],
+        "resblock_dilation_sizes": [[1, 3, 5]],
+    }
+    (tmp_path / "config.json").write_text(json.dumps(voc_config))
+    cfg = {
+        "audio_sample_rate": sr, "hop_size": hop, "win_size": 2048,
+        "fft_size": 2048, "audio_num_mel_bins": 16, "fmin": 40, "fmax": 16000,
+        "mel_base": "e", "pe": "parselmouth", "f0_min": 65, "f0_max": 1100,
+        "vocoder": "NsfHifiGAN", "vocoder_ckpt": str(tmp_path / "missing.ckpt"),
+    }
+    cfg_path = tmp_path / "voc.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    r = _run("scripts/val_nsf_hifigan.py", str(wav_path), "--config", str(cfg_path),
+             "--out", str(tmp_path / "out"))
+    assert r.returncode == 0, r.stderr[-2000:]
+    with wave.open(str(tmp_path / "out" / "tone_copysynth.wav")) as f:
+        assert f.getframerate() == sr
+        n = f.getnframes()
+        # whole mel frames, within one hop of the input length
+        assert n % hop == 0
+        assert abs(n - len(y)) < 2 * hop
