@@ -96,7 +96,10 @@ def build_lr_schedule(scheduler_args: dict, *, base_lr: float, hidden_size: int 
     (utils/__init__.py:278-314), including nested SequentialLR."""
 
     def helper(args: dict) -> Schedule:
-        name = _resolve_name(args.get("scheduler_cls") or args.get("cls"))
+        # configs/base.yaml default; a user override of just step_size/gamma
+        # (without re-stating the class) keeps StepLR
+        cls_str = args.get("scheduler_cls") or args.get("cls") or "StepLR"
+        name = _resolve_name(cls_str)
         if name == "SequentialLR":
             subs = [helper(s) for s in args["schedulers"]]
             return SequentialLR(subs, args["milestones"])

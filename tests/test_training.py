@@ -180,3 +180,14 @@ def test_grad_accumulation_step_semantics():
     assert not jnp.allclose(s2.params["w"], params["w"])
     # micro-batch counter kept separately (rng folding stays unique)
     assert int(s2.step) == 2
+
+
+def test_lr_schedule_defaults_to_steplr():
+    """lr_scheduler_args without scheduler_cls falls back to StepLR (the
+    configs/base.yaml default) instead of crashing."""
+    from diffsinger_tpu.training.schedules import build_lr_schedule
+
+    sched = build_lr_schedule({"step_size": 10, "gamma": 0.5}, base_lr=1.0)
+    assert sched(0) == 1.0
+    assert sched(10) == 0.5
+    assert sched(25) == 0.25
