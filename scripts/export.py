@@ -15,7 +15,7 @@ from diffsinger_tpu.utils.jax_setup import setup_jax  # noqa: E402
 
 setup_jax()
 
-from scripts.infer import find_exp, migrate_legacy_hparams  # noqa: E402
+from scripts.infer import ckpt_root_dir, find_exp, migrate_legacy_hparams  # noqa: E402
 
 
 @click.group()
@@ -26,7 +26,7 @@ def main():
 def _load_hp(exp, acoustic=True):
     from diffsinger_tpu.config import load_config
 
-    hp = load_config(exp_name=exp, infer=True, ckpt_root=root_dir / "checkpoints")
+    hp = load_config(exp_name=exp, infer=True, ckpt_root=ckpt_root_dir())
     return migrate_legacy_hparams(hp, infer_acoustic=acoustic)
 
 

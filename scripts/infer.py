@@ -4,6 +4,7 @@ hparams migration.
 """
 
 import json
+import os
 import pathlib
 import sys
 from collections import OrderedDict
@@ -20,9 +21,14 @@ from diffsinger_tpu.utils.jax_setup import setup_jax  # noqa: E402
 setup_jax()
 
 
+def ckpt_root_dir() -> Path:
+    """Checkpoints root: <repo>/checkpoints, overridable via DS_CKPT_ROOT."""
+    return Path(os.environ.get("DS_CKPT_ROOT", "") or (root_dir / "checkpoints"))
+
+
 def find_exp(exp: str) -> str:
     """Match exp folder by exact name or prefix (scripts/infer.py:16-32)."""
-    ckpt_root = root_dir / "checkpoints"
+    ckpt_root = ckpt_root_dir()
     if not (ckpt_root / exp).exists():
         for subdir in sorted(ckpt_root.iterdir()) if ckpt_root.exists() else []:
             if subdir.is_dir() and subdir.name.startswith(exp):
@@ -125,7 +131,7 @@ def acoustic(proj, exp, ckpt, spk, lang, out, title, num, key, gender, seed, dep
 
     from diffsinger_tpu.config import load_config
 
-    hp = load_config(exp_name=exp, infer=True, ckpt_root=root_dir / "checkpoints")
+    hp = load_config(exp_name=exp, infer=True, ckpt_root=ckpt_root_dir())
     hp = migrate_legacy_hparams(hp, infer_acoustic=True)
     hp = apply_depth_steps_overrides(hp, depth, steps, acoustic=True)
 
@@ -186,7 +192,7 @@ def variance(proj, exp, ckpt, predict: Tuple[str], spk, lang, out, title, num, k
 
     from diffsinger_tpu.config import load_config
 
-    hp = load_config(exp_name=exp, infer=True, ckpt_root=root_dir / "checkpoints")
+    hp = load_config(exp_name=exp, infer=True, ckpt_root=ckpt_root_dir())
     hp = migrate_legacy_hparams(hp, infer_acoustic=False)
     hp = apply_depth_steps_overrides(hp, None, steps, acoustic=False)
 

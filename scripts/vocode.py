@@ -33,7 +33,8 @@ def main(mel, exp, config, out, title):
     from diffsinger_tpu.config import load_config
 
     if exp is not None:
-        hp = load_config(exp_name=exp, infer=True, ckpt_root=root_dir / "checkpoints")
+        from scripts.infer import ckpt_root_dir
+        hp = load_config(exp_name=exp, infer=True, ckpt_root=ckpt_root_dir())
     elif config is not None:
         hp = load_config(config, infer=True)
     else:

@@ -12,13 +12,14 @@ import yaml
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
 
-def _run(*argv):
+def _run(*argv, extra_env=None):
+    env = {"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+           "PYTHONPATH": str(REPO), "HOME": "/root"}
+    env.update(extra_env or {})
     return subprocess.run(
         [sys.executable, *argv],
         capture_output=True, text=True, timeout=600,
-        env={"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
-             "PYTHONPATH": str(REPO), "HOME": "/root"},
-        cwd=str(REPO),
+        env=env, cwd=str(REPO),
     )
 
 
@@ -193,3 +194,42 @@ def test_val_nsf_hifigan_copysynth(tmp_path):
         # whole mel frames, within one hop of the input length
         assert n % hop == 0
         assert abs(n - len(y)) < 2 * hop
+
+
+def test_infer_cli_acoustic_mel(tmp_path):
+    """scripts/infer.py acoustic --mel end to end via subprocess, with the
+    experiment resolved from DS_CKPT_ROOT (checkpoint-root override)."""
+    import jax
+
+    from tests.test_shipped_assets import _make_exp, REPO as REPO_SA
+    from diffsinger_tpu.models.toplevel import DiffSingerAcoustic
+    from diffsinger_tpu.utils.ckpt import checkpoint_path, save_checkpoint
+    from diffsinger_tpu.utils.text import load_phoneme_dictionary
+
+    hp = _make_exp(
+        tmp_path, REPO_SA / "configs" / "acoustic.yaml",
+        dict(
+            hidden_size=32, enc_layers=1, sampling_steps=2, audio_num_mel_bins=16,
+            backbone_args=dict(num_channels=32, num_layers=1, kernel_size=7,
+                               dropout_rate=0.0, strong_cond=True),
+            use_shallow_diffusion=False,
+        ),
+        "cli_infer_exp",
+    )
+    vocab = len(load_phoneme_dictionary(hp))
+    model = DiffSingerAcoustic(hp, vocab_size=vocab, out_dims=16)
+    params = model.init(jax.random.PRNGKey(0))
+    save_checkpoint(checkpoint_path(hp["work_dir"], 100), params,
+                    category="acoustic", global_step=100)
+
+    out_dir = tmp_path / "out"
+    r = _run("scripts/infer.py", "acoustic", str(REPO_SA / "samples" / "00_xiao_xing_xing.ds"),
+             "--exp", "cli_infer",  # prefix match exercises find_exp
+             "--out", str(out_dir), "--title", "cli", "--steps", "2", "--mel",
+             "--seed", "3",
+             extra_env={"DS_CKPT_ROOT": str(tmp_path / "checkpoints")})
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "match ckpt by prefix: cli_infer_exp" in r.stdout
+    data = np.load(out_dir / "cli.mel.npz")
+    assert int(data["num_segments"]) == 2
+    assert data["mel_0"].shape[1] == 16
