@@ -51,6 +51,23 @@ class BaseDataset:
             "indices": np.asarray([s["_idx"] for s in samples], np.int64),
         }
 
+    def pad_targets(self, indices, axes: Dict[str, str], bucket_steps: Dict[str, int]) -> Dict[str, int]:
+        """Bucketized max lengths over ``indices`` for each logical axis.
+
+        ``axes`` maps logical axis name -> metadata attribute (e.g.
+        ``{"t_mel": "mel2ph"}``). Used in multi-host training so every host
+        can compute the *global* pad targets for a step from metadata alone
+        (the per-attribute lengths recorded at binarization), without
+        communicating shapes.
+        """
+        out = {}
+        for axis, attr in axes.items():
+            if attr not in self.metadata:
+                continue
+            lengths = self.metadata[attr]
+            out[axis] = _bucket(max(int(lengths[i]) for i in indices), bucket_steps[axis])
+        return out
+
 
 class AcousticDataset(BaseDataset):
     """Acoustic batches (AcousticDataset.collater, acoustic_task.py:40-67)."""
@@ -66,13 +83,18 @@ class AcousticDataset(BaseDataset):
             if hp.get(f"use_{v}_embed", False)
         ]
 
-    def collater(self, samples: List[Dict]) -> Dict:
+    PAD_AXES = {"t_mel": "mel2ph", "t_txt": "tokens"}
+
+    def collater(self, samples: List[Dict], pad_to: Dict[str, int] = None) -> Dict:
         batch = self.collate_base(samples)
         if batch["size"] == 0:
             return batch
         hp = self.hp
-        t_mel = _bucket(max(len(s["mel2ph"]) for s in samples), self.frame_bucket)
-        t_txt = _bucket(max(len(s["tokens"]) for s in samples), self.token_bucket)
+        pad_to = pad_to or {}
+        t_mel = max(_bucket(max(len(s["mel2ph"]) for s in samples), self.frame_bucket),
+                    pad_to.get("t_mel", 0))
+        t_txt = max(_bucket(max(len(s["tokens"]) for s in samples), self.token_bucket),
+                    pad_to.get("t_txt", 0))
         batch.update(
             tokens=collate_nd([s["tokens"] for s in samples], 0, t_txt).astype(np.int32),
             mel2ph=collate_nd([s["mel2ph"] for s in samples], 0, t_mel).astype(np.int32),
@@ -110,12 +132,16 @@ class VarianceDataset(BaseDataset):
             if hp.get(f"predict_{v}", False)
         ]
 
-    def collater(self, samples: List[Dict]) -> Dict:
+    PAD_AXES = {"t_mel": "mel2ph", "t_txt": "tokens", "t_note": "note_midi"}
+
+    def collater(self, samples: List[Dict], pad_to: Dict[str, int] = None) -> Dict:
         batch = self.collate_base(samples)
         if batch["size"] == 0:
             return batch
         hp = self.hp
-        t_txt = _bucket(max(len(s["tokens"]) for s in samples), self.token_bucket)
+        pad_to = pad_to or {}
+        t_txt = max(_bucket(max(len(s["tokens"]) for s in samples), self.token_bucket),
+                    pad_to.get("t_txt", 0))
         batch.update(
             tokens=collate_nd([s["tokens"] for s in samples], 0, t_txt).astype(np.int32),
             ph_dur=collate_nd([s["ph_dur"] for s in samples], 0, t_txt).astype(np.int32),
@@ -129,9 +155,11 @@ class VarianceDataset(BaseDataset):
             batch["midi"] = collate_nd([s["midi"] for s in samples], 0, t_txt).astype(np.int32)
         needs_frames = hp["predict_pitch"] or self.var_list
         if needs_frames:
-            t_mel = _bucket(max(len(s["mel2ph"]) for s in samples), self.frame_bucket)
+            t_mel = max(_bucket(max(len(s["mel2ph"]) for s in samples), self.frame_bucket),
+                        pad_to.get("t_mel", 0))
         if hp["predict_pitch"]:
-            t_note = _bucket(max(len(s["note_midi"]) for s in samples), self.token_bucket)
+            t_note = max(_bucket(max(len(s["note_midi"]) for s in samples), self.token_bucket),
+                         pad_to.get("t_note", 0))
             batch["note_midi"] = collate_nd([s["note_midi"] for s in samples], -1.0, t_note).astype(np.float32)
             batch["note_rest"] = collate_nd([s["note_rest"] for s in samples], True, t_note)
             batch["note_dur"] = collate_nd([s["note_dur"] for s in samples], 0, t_note).astype(np.int32)

@@ -11,9 +11,10 @@ transition costs. The ACF + candidate extraction is frame-parallel and the
 Viterbi forward pass is a ``lax.scan`` — both jit-compiled; only the trivial
 backtrace runs on host.
 
-Registry parity: 'parselmouth' (-> native ACF), 'harvest' (-> ACF with a
-warning; a native Harvest port is future work), 'rmvpe' (NN extractor, needs a
-checkpoint; see diffsinger_tpu.models.rmvpe).
+Registry parity: 'parselmouth' (-> native ACF), 'harvest' (hard error unless
+``pe_fallback: true`` opts into ACF substitution — silent algorithm swaps
+poison binarized features), 'rmvpe' (NN extractor, needs a checkpoint; see
+diffsinger_tpu.models.rmvpe).
 """
 
 from __future__ import annotations
@@ -183,21 +184,32 @@ class AcfPE(BasePE):
         return f0, uv
 
 
-class HarvestPE(AcfPE):
-    """'harvest' requests (pyworld) fall back to the native ACF extractor."""
-
-    def __init__(self):
-        warnings.warn("pyworld Harvest is unavailable; using the native ACF pitch extractor.")
-        super().__init__()
-
-
 def initialize_pe(hparams: dict) -> BasePE:
-    """PE registry (reference modules/pe/__init__.py:8-18)."""
+    """PE registry (reference modules/pe/__init__.py:8-18).
+
+    A config that names an extractor whose native implementation would produce
+    *different* f0 than the reference's is a hard error unless explicitly
+    opted into via ``pe_fallback: true`` — silently substituting algorithms
+    poisons binarized datasets (features stop being comparable across runs).
+    """
     name = hparams.get("pe", "parselmouth")
     if name == "parselmouth":
         return AcfPE()
     if name == "harvest":
-        return HarvestPE()
+        if hparams.get("pe_fallback", False):
+            warnings.warn(
+                "pe=harvest: native Harvest unavailable; pe_fallback=true "
+                "substitutes the native ACF extractor (f0 will differ from "
+                "pyworld-harvest-binarized datasets)."
+            )
+            return AcfPE()
+        raise NotImplementedError(
+            "pe=harvest requires the pyworld Harvest algorithm, which has no "
+            "native implementation yet. Refusing to silently substitute a "
+            "different f0 extractor (it would poison binarized features). "
+            "Set pe_fallback: true to explicitly opt into the native ACF "
+            "extractor instead."
+        )
     if name == "rmvpe":
         from diffsinger_tpu.models.rmvpe import RMVPE
 

@@ -24,7 +24,11 @@ def diffusion_loss(
     nonpadding: Optional[jnp.ndarray] = None,
     loss_type: str = "l2",
 ) -> jnp.ndarray:
-    """Epsilon-prediction loss (diff_loss.py:5-34)."""
+    """Epsilon-prediction loss (diff_loss.py:5-34). Inputs are cast to fp32
+    so bf16-compute training reduces losses in full precision (the mixed-
+    precision analogue of the reference's autocast behavior)."""
+    x_recon = x_recon.astype(jnp.float32)
+    noise = noise.astype(jnp.float32)
     if loss_type == "l1":
         err = jnp.abs(x_recon - noise)
     elif loss_type == "l2":
@@ -44,7 +48,10 @@ def reflow_loss(
 ) -> jnp.ndarray:
     """Velocity-prediction loss with optional logit-normal time weighting
     (reflow_loss.py:6-50): w(t) = 1/(eps + sqrt(2*pi)*t*(1-t)) * exp(-0.5*logit(t)^2),
-    normalized to mean 1 over the batch."""
+    normalized to mean 1 over the batch. fp32 reduction (see diffusion_loss)."""
+    v_pred = v_pred.astype(jnp.float32)
+    v_gt = v_gt.astype(jnp.float32)
+    t = t.astype(jnp.float32)
     if loss_type == "l1":
         err = jnp.abs(v_pred - v_gt)
     elif loss_type == "l2":
@@ -82,6 +89,7 @@ def dur_loss(
     :param ph2word: [B, T_ph] 1-based word ids
     :param nonpadding: [B, T_ph] float mask
     """
+    dur_pred_log = dur_pred_log.astype(jnp.float32)
     if loss_type == "mse":
         err_fn = lambda a, b: jnp.square(a - b)
     elif loss_type == "huber":
@@ -95,8 +103,11 @@ def dur_loss(
     log_gt = jnp.log(dur_gt + offset)
     pdur = _weighted(err_fn(dur_pred_log, log_gt), nonpadding)
 
-    # linear-domain predictions for word/sentence aggregation
-    dur_pred = (jnp.exp(dur_pred_log) - offset) * nonpadding
+    # linear-domain predictions for word/sentence aggregation; clamp to >=0
+    # like the reference's dur_pred.clamp(min=0.) ("clip to avoid NaN loss"):
+    # exp(log_pred)-offset can sum below -offset, making log(wdur_pred+offset)
+    # a log of a negative number (dur_loss.py:30-36).
+    dur_pred = jnp.clip(jnp.exp(dur_pred_log) - offset, 0.0, None) * nonpadding
     b, t_ph = ph2word.shape
     t_w = t_ph  # word count bounded by phoneme count
     idx = jnp.arange(b)[:, None]
@@ -121,6 +132,6 @@ def _weighted(err: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 def aux_mel_loss(aux_out: jnp.ndarray, norm_gt_mel: jnp.ndarray,
                  nonpadding: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """L1 between the aux decoder's normalized output and the normalized gt mel
-    (aux loss registered per AUX_LOSSES['convnext'] = L1)."""
-    err = jnp.abs(aux_out - norm_gt_mel)
+    (aux loss registered per AUX_LOSSES['convnext'] = L1). fp32 reduction."""
+    err = jnp.abs(aux_out.astype(jnp.float32) - norm_gt_mel.astype(jnp.float32))
     return _masked_mean(err, nonpadding)

@@ -43,10 +43,7 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch):
     """Device-put a host batch with the batch axis sharded over 'data'.
 
-    The per-host loading story (the reference's manual rank-strided
-    DsBatchSampler assignment, training_utils.py:150-183) maps to
-    `jax.make_array_from_process_local_data` in multi-host settings; on a
-    single host a plain device_put suffices.
+    Single-host fast path; multi-host callers use :func:`make_global_batch`.
     """
     sharding = batch_sharding(mesh)
 
@@ -56,3 +53,30 @@ def shard_batch(mesh: Mesh, batch):
         return jax.device_put(x, replicated_sharding(mesh))
 
     return jax.tree.map(put, batch)
+
+
+def make_global_batch(mesh: Mesh, local_batch):
+    """Assemble per-process local batches into globally-sharded arrays.
+
+    The TPU-native equivalent of the reference's manual rank-strided batch
+    assignment (utils/training_utils.py:150-183): each host loads only its
+    own shard of the global batch, and
+    ``jax.make_array_from_process_local_data`` stitches the shards into one
+    global array laid out per the 'data'-axis sharding. Every process must
+    call this with the same global structure and per-key shapes (the
+    DsBatchSampler's deterministic (seed, epoch) batch forming plus the
+    collater pad targets guarantee that).
+
+    On a single-process runtime this degrades to a plain sharded device_put.
+    """
+    if jax.process_count() == 1:
+        return shard_batch(mesh, local_batch)
+    sharding = batch_sharding(mesh)
+
+    def put(x):
+        x = np.asarray(x)
+        if x.ndim >= 1:
+            return jax.make_array_from_process_local_data(sharding, x)
+        return jax.make_array_from_process_local_data(replicated_sharding(mesh), x)
+
+    return jax.tree.map(put, local_batch)

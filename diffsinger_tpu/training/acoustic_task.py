@@ -31,15 +31,16 @@ class AcousticTask:
         class _Task(BaseTask):
             category = "acoustic"
 
-            def build_model(self):
+            def build_model(self, dtype=None):
                 return DiffSingerAcoustic(
                     self.hp,
                     vocab_size=len(self.phoneme_dictionary),
                     out_dims=self.hp["audio_num_mel_bins"],
+                    dtype=dtype,
                 )
 
-            def build_loss_fn(self):
-                return make_acoustic_loss_fn(self.model)
+            def build_loss_fn(self, model):
+                return make_acoustic_loss_fn(model)
 
             def build_datasets(self):
                 d = self.hp["binary_data_dir"]
@@ -58,10 +59,17 @@ class AcousticTask:
                 indices = batch.get("indices", [])
                 if not any(i < hp.get("num_valid_plots", 10) for i in indices):
                     return
-                out = self.model.forward_infer(
+                if not hasattr(self, "_jit_infer"):
+                    # fp32 eval model; jax.jit caches per bucket shape
+                    em = self.eval_model
+                    self._jit_infer = _jax.jit(
+                        lambda p, rng, tokens, mel2ph, f0, mel: em.forward_infer(
+                            p, rng, tokens, mel2ph, f0, gt_mel=mel
+                        )
+                    )
+                out = self._jit_infer(
                     state.params, _jax.random.PRNGKey(0),
-                    batch["tokens"], batch["mel2ph"], batch["f0"],
-                    gt_mel=batch["mel"],
+                    batch["tokens"], batch["mel2ph"], batch["f0"], batch["mel"],
                 )
                 if not hasattr(self, "_vocoder"):
                     self._vocoder = None

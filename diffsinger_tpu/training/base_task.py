@@ -27,7 +27,9 @@ import jax
 import numpy as np
 
 from diffsinger_tpu.data.batch_sampler import DsBatchSampler
-from diffsinger_tpu.parallel.mesh import batch_sharding, create_mesh, replicated_sharding
+from diffsinger_tpu.parallel.mesh import (
+    create_mesh, make_global_batch, replicated_sharding,
+)
 from diffsinger_tpu.training.train_state import (
     TrainState, build_optimizer, create_train_state, make_train_step, optimizer_step,
 )
@@ -120,6 +122,30 @@ def make_freeze_mask(params, frozen_prefixes):
     return traverse_util.unflatten_dict({tuple(k.split("/")): v for k, v in mask.items()})
 
 
+def resolve_precision(precision) -> Optional[object]:
+    """Map the reference's ``pl_trainer_precision`` (configs/base.yaml:77)
+    onto a compute dtype: any 16-bit setting ('16-mixed', 'bf16-mixed',
+    '16', 'bf16') -> bf16 compute with fp32 params/optimizer (bf16 is the
+    TPU-safe replacement for the reference's fp16 autocast; see SURVEY §5.8);
+    '32'/'32-true'/None -> fp32 throughout."""
+    import jax.numpy as jnp
+
+    p = str(precision)
+    if "16" in p:
+        return jnp.bfloat16
+    return None
+
+
+def _bucket_batch_size(n: int, multiple: int) -> int:
+    """Round a batch size up to a power-of-two multiple of ``multiple`` so
+    the train-step jit cache is keyed by O(log B) batch sizes instead of
+    every distinct size the frame-budget sampler produces."""
+    import math
+
+    k = max(1, math.ceil(n / multiple))
+    return multiple * (1 << (k - 1).bit_length())
+
+
 class BaseTask:
     """Generic training driver; subclasses provide model/loss/dataset."""
 
@@ -129,16 +155,24 @@ class BaseTask:
         self.hp = hp
         self.work_dir = pathlib.Path(hp["work_dir"] or ".")
         self.phoneme_dictionary = load_phoneme_dictionary(hp)
-        self.model = self.build_model()
-        self.loss_fn = self.build_loss_fn()
+        self.compute_dtype = resolve_precision(hp.get("pl_trainer_precision", "32-true"))
+        self.model = self.build_model(self.compute_dtype)
+        # validation always runs fp32 — the reference's autocast-off island
+        # (basics/base_task.py:266). Same params, fp32 compute.
+        self.eval_model = self.build_model(None) if self.compute_dtype is not None else self.model
+        self.loss_fn = self.build_loss_fn(self.model)
+        self.eval_loss_fn = (
+            self.loss_fn if self.eval_model is self.model
+            else self.build_loss_fn(self.eval_model)
+        )
         self.mesh = create_mesh()
         self.logger = SummaryLogger(self.work_dir / "lightning_logs" / "tb")
 
     # -- subclass contract (reference basics/base_task.py:49-56) --------
-    def build_model(self):
+    def build_model(self, dtype=None):
         raise NotImplementedError()
 
-    def build_loss_fn(self):
+    def build_loss_fn(self, model):
         raise NotImplementedError()
 
     def build_datasets(self):
@@ -189,6 +223,8 @@ class BaseTask:
 
     def _save(self, state: TrainState):
         hp = self.hp
+        if jax.process_index() != 0:
+            return  # multi-host: params are replicated; rank 0 owns the files
         step = optimizer_step(state)
         path = ckpt_utils.checkpoint_path(self.work_dir, step)
         ckpt_utils.save_checkpoint(
@@ -221,14 +257,40 @@ class BaseTask:
         state = jax.device_put(state, replicated_sharding(self.mesh))
         train_step = make_train_step(self.loss_fn, tx)
         jitted: Dict = {}
+        self._jit_train_cache = jitted  # exposed so tests can assert compile counts
 
         train_ds, valid_ds = self.build_datasets()
-        num_replicas = self.mesh.devices.shape[0]
+        n_proc = jax.process_count()
+        rank = jax.process_index()
+        n_devices_global = int(self.mesh.devices.size)
+        n_devices_local = max(1, n_devices_global // n_proc)
         max_updates = max_steps if max_steps is not None else hp.get("max_updates", 160000)
         val_interval = hp.get("val_check_interval", 2000)
         log_interval = hp.get("log_interval", 100)
         rng = jax.random.PRNGKey(hp.get("seed") or 0)
-        bsh = batch_sharding(self.mesh)
+        bucket_steps = {
+            "t_mel": getattr(train_ds, "frame_bucket", 128),
+            "t_txt": getattr(train_ds, "token_bucket", 16),
+            "t_note": getattr(train_ds, "token_bucket", 16),
+        }
+
+        def make_sampler(r: int) -> DsBatchSampler:
+            # per-host loading: rank-strided batch assignment (the reference's
+            # manual DDP sharding, training_utils.py:150-183) — each process
+            # loads only its own batches; arrays are stitched globally via
+            # make_global_batch.
+            return DsBatchSampler(
+                train_ds.sizes,
+                max_batch_frames=hp.get("max_batch_frames", 50000),
+                max_batch_size=hp.get("max_batch_size", 64),
+                num_replicas=n_proc,
+                rank=r,
+                frame_count_grid=hp.get("sampler_frame_count_grid", 6),
+                required_batch_count_multiple=hp.get("accumulate_grad_batches", 1),
+                shuffle_sample=True,
+                shuffle_batch=True,
+                seed=hp.get("seed") or 0,
+            )
 
         # optional xprof capture (SURVEY.md §5.1): `profile_steps: N` in hparams
         # (or train.py --profile N) traces N steps after warmup into
@@ -240,33 +302,52 @@ class BaseTask:
         step = optimizer_step(state)
         epoch = 0
         t_last = time.time()
+        # gate val/log on a step *change* so grad accumulation (k micro-batches
+        # per applied update) doesn't re-trigger them k times per boundary
+        last_val_step = step
+        last_log_step = step
         while step < max_updates:
-            sampler = DsBatchSampler(
-                train_ds.sizes,
-                max_batch_frames=hp.get("max_batch_frames", 50000),
-                max_batch_size=hp.get("max_batch_size", 64),
-                num_replicas=1,  # single-host: whole batch sharded over the mesh
-                rank=0,
-                frame_count_grid=hp.get("sampler_frame_count_grid", 6),
-                required_batch_count_multiple=hp.get("accumulate_grad_batches", 1),
-                shuffle_sample=True,
-                shuffle_batch=True,
-                seed=hp.get("seed") or 0,
-            )
+            sampler = make_sampler(rank)
             sampler.set_epoch(epoch)
-            for indices in sampler:
+            if n_proc > 1:
+                # every host deterministically recomputes its peers' batch
+                # assignments (same seed/epoch/sizes) so global pad targets
+                # need no communication
+                peer_batches = []
+                for r in range(n_proc):
+                    s = sampler if r == rank else make_sampler(r)
+                    s.set_epoch(epoch)
+                    peer_batches.append(list(s))
+                n_positions = min(len(b) for b in peer_batches)
+            else:
+                peer_batches, n_positions = None, None
+            for pos, indices in enumerate(sampler):
                 if not indices:
                     continue
-                batch = train_ds.collater([train_ds[i] for i in indices])
+                if peer_batches is not None:
+                    if pos >= n_positions:
+                        break
+                    all_indices = [i for b in peer_batches for i in b[pos]]
+                    pad_to = train_ds.pad_targets(all_indices, train_ds.PAD_AXES, bucket_steps)
+                    global_max_b = max(len(b[pos]) for b in peer_batches)
+                    target_b = _bucket_batch_size(global_max_b, n_devices_local)
+                else:
+                    pad_to = None
+                    target_b = None
+                batch = train_ds.collater([train_ds[i] for i in indices], pad_to=pad_to)
                 batch.pop("indices", None)
                 size = batch.pop("size")
-                if size % num_replicas != 0:
-                    # pad batch to a replica multiple by repeating the last item
-                    pad_n = num_replicas - size % num_replicas
+                # pad the batch axis to a power-of-two device multiple by
+                # repeating the last item (bounded jit cache; duplicate items
+                # mirror the reference's leftover-batch padding)
+                if target_b is None:
+                    target_b = _bucket_batch_size(size, n_devices_local)
+                if size < target_b:
+                    pad_n = target_b - size
                     for k, v in batch.items():
                         if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == size:
                             batch[k] = np.concatenate([v, np.repeat(v[-1:], pad_n, 0)], 0)
-                batch = {k: jax.device_put(v, bsh) for k, v in batch.items()}
+                batch = make_global_batch(self.mesh, batch)
 
                 key = tuple(sorted((k, v.shape) for k, v in batch.items()))
                 if key not in jitted:
@@ -288,7 +369,8 @@ class BaseTask:
                     profile_steps = 0
                     print(f"| xprof trace saved to {hp['work_dir']}/profile")
 
-                if step % log_interval == 0:
+                if step % log_interval == 0 and step != last_log_step:
+                    last_log_step = step
                     metrics = {k: float(v) for k, v in metrics.items()}
                     lr = schedule(step)
                     dt = time.time() - t_last
@@ -300,33 +382,65 @@ class BaseTask:
                           " ".join(f"{k}={v:.4f}" for k, v in metrics.items()) +
                           f" lr={lr:.2e} ({log_interval / max(dt, 1e-9):.2f} it/s)")
 
-                if step % val_interval == 0:
+                if step % val_interval == 0 and step != last_val_step:
+                    last_val_step = step
                     self.run_validation(state, valid_ds)
                     self._save(state)
                 if step >= max_updates:
                     break
             epoch += 1
-        self.run_validation(state, valid_ds)
-        self._save(state)
+        if step != last_val_step:  # don't repeat an interval-triggered val/save
+            self.run_validation(state, valid_ds)
+            self._save(state)
         self.logger.flush()
         return state
 
     def run_validation(self, state: TrainState, valid_ds):
+        """Validation losses via a jitted fp32 eval loss (per-shape cache is
+        jax.jit's own; collaters bucket-pad, so compiles are bounded by the
+        bucket count). Multi-host runs walk the same chunk list on every
+        process, each loading its rank's slice (stitched globally); the
+        figure/audio extras are single-host only."""
         hp = self.hp
         rng = jax.random.PRNGKey(42)
         losses_acc: Dict[str, list] = {}
         self._metric_states = {}  # streaming metric accumulators reset per run
+        if not hasattr(self, "_jit_eval_loss"):
+            self._jit_eval_loss = jax.jit(self.eval_loss_fn)
         n = len(valid_ds)
-        for i in range(0, n, max(1, hp.get("max_val_batch_size", 1))):
-            idxs = list(range(i, min(n, i + max(1, hp.get("max_val_batch_size", 1)))))
-            batch = valid_ds.collater([valid_ds[j] for j in idxs])
+        n_proc = jax.process_count()
+        rank = jax.process_index()
+        bs = max(1, hp.get("max_val_batch_size", 1))
+        if n_proc > 1:
+            # per-process slice size must fill the local devices evenly
+            n_local = max(1, self.mesh.devices.size // n_proc)
+            bs = ((bs + n_local - 1) // n_local) * n_local
+        bucket_steps = {
+            "t_mel": getattr(valid_ds, "frame_bucket", 128),
+            "t_txt": getattr(valid_ds, "token_bucket", 16),
+            "t_note": getattr(valid_ds, "token_bucket", 16),
+        }
+        for i in range(0, n, bs * n_proc):
+            if n_proc > 1:
+                # fixed-size chunk: wrap indices so every process has a full
+                # slice (duplicated tail items slightly reweight the epoch
+                # mean — same tradeoff as the reference's DDP leftover pad)
+                chunk = [min(j, n - 1) for j in range(i, i + bs * n_proc)]
+                idxs = chunk[rank * bs:(rank + 1) * bs]
+                pad_to = valid_ds.pad_targets(chunk, valid_ds.PAD_AXES, bucket_steps)
+            else:
+                idxs = list(range(i, min(n, i + bs)))
+                pad_to = None
+            batch = valid_ds.collater([valid_ds[j] for j in idxs], pad_to=pad_to)
             batch.pop("indices", None)
             batch.pop("size", None)
-            jb = {k: v for k, v in batch.items()}
-            _, metrics = self.loss_fn(state.params, jb, rng)
+            jb = make_global_batch(self.mesh, batch) if n_proc > 1 else batch
+            with self.mesh:
+                _, metrics = self._jit_eval_loss(state.params, jb, rng)
             for k, v in metrics.items():
                 losses_acc.setdefault(k, []).append(float(v))
-            self.validation_extras(state, valid_ds, {"indices": idxs, **batch}, losses_acc)
+            if n_proc == 1:
+                self.validation_extras(state, valid_ds, {"indices": idxs, **batch}, losses_acc)
         step = optimizer_step(state)
         for k, vals in losses_acc.items():
             self.logger.add_scalar(f"validation/{k}", float(np.mean(vals)), step)

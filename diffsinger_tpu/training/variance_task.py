@@ -45,11 +45,13 @@ class VarianceTask:
         class _Task(BaseTask):
             category = "variance"
 
-            def build_model(self):
-                return DiffSingerVariance(self.hp, vocab_size=len(self.phoneme_dictionary))
+            def build_model(self, dtype=None):
+                return DiffSingerVariance(
+                    self.hp, vocab_size=len(self.phoneme_dictionary), dtype=dtype
+                )
 
-            def build_loss_fn(self):
-                return make_variance_loss_fn(self.model)
+            def build_loss_fn(self, model):
+                return make_variance_loss_fn(model)
 
             def build_datasets(self):
                 d = self.hp["binary_data_dir"]
@@ -75,14 +77,25 @@ class VarianceTask:
                 indices = batch.get("indices", [])
                 var_list = [v for v in ("energy", "breathiness", "voicing", "tension")
                             if hp.get(f"predict_{v}", False)]
-                dur_pred, pitch_pred, var_pred = self.model.forward_infer(
+                if not hasattr(self, "_jit_infer"):
+                    # fp32 eval model; jax.jit caches per (bucket shape,
+                    # None-pattern) signature
+                    em = self.eval_model
+                    self._jit_infer = _jax.jit(
+                        lambda p, rng, tokens, midi, ph2word, base_pitch, ph_dur,
+                        mel2ph, pitch: em.forward_infer(
+                            p, rng, tokens, midi, ph2word, base_pitch,
+                            ph_dur=ph_dur, mel2ph=mel2ph, pitch=pitch,
+                        )
+                    )
+                dur_pred, pitch_pred, var_pred = self._jit_infer(
                     state.params, _jax.random.PRNGKey(0),
                     _jnp.asarray(batch["tokens"]), _jnp.asarray(batch.get("midi")),
                     _jnp.asarray(batch.get("ph2word")),
                     _jnp.asarray(batch.get("base_pitch")) if batch.get("base_pitch") is not None else None,
-                    ph_dur=_jnp.asarray(batch["ph_dur"]),
-                    mel2ph=_jnp.asarray(batch.get("mel2ph")) if batch.get("mel2ph") is not None else None,
-                    pitch=_jnp.asarray(batch.get("pitch")) if var_list and batch.get("pitch") is not None else None,
+                    _jnp.asarray(batch["ph_dur"]),
+                    _jnp.asarray(batch.get("mel2ph")) if batch.get("mel2ph") is not None else None,
+                    _jnp.asarray(batch.get("pitch")) if var_list and batch.get("pitch") is not None else None,
                 )
                 step = int(state.step)
                 if not hasattr(self, "_metric_states"):

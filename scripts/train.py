@@ -41,6 +41,7 @@ def main():
     args = parser.parse_args()
 
     from diffsinger_tpu.config import load_config
+    from diffsinger_tpu.parallel.dist import maybe_initialize_distributed
 
     hp = load_config(
         args.config, exp_name=args.exp_name, hparams_str=args.hparams,
@@ -49,6 +50,13 @@ def main():
     )
     if args.profile:
         hp["profile_steps"] = args.profile
+    # multi-host (pod / multi-node) runs: must precede any jax.devices() use;
+    # replaces the reference's Lightning DDP node launch (configs/base.yaml:79-83)
+    if maybe_initialize_distributed(hp):
+        import jax
+
+        print(f"| distributed: process {jax.process_index()}/{jax.process_count()}, "
+              f"{len(jax.devices())} global devices")
     if args.infer:
         from diffsinger_tpu.training.train_state import build_optimizer
         from diffsinger_tpu.utils import load_class_from_name, remap_reference_class_name
