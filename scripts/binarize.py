@@ -22,11 +22,13 @@ def binarize(hp):
 def main():
     parser = argparse.ArgumentParser(description="binarize data")
     parser.add_argument("--config", type=str, required=True, help="training config file")
+    parser.add_argument("--hparams", type=str, default="",
+                        help="k=v,k2=v2 overrides (same syntax as train.py)")
     args = parser.parse_args()
 
     from diffsinger_tpu.config import load_config
 
-    hp = load_config(args.config, save_snapshot=False)
+    hp = load_config(args.config, hparams_str=args.hparams, save_snapshot=False)
     binarize(hp)
 
 
