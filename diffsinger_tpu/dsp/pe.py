@@ -11,16 +11,14 @@ transition costs. The ACF + candidate extraction is frame-parallel and the
 Viterbi forward pass is a ``lax.scan`` — both jit-compiled; only the trivial
 backtrace runs on host.
 
-Registry parity: 'parselmouth' (-> native ACF), 'harvest' (hard error unless
-``pe_fallback: true`` opts into ACF substitution — silent algorithm swaps
-poison binarized features), 'rmvpe' (NN extractor, needs a checkpoint; see
+Registry parity: 'parselmouth' (-> native ACF), 'harvest' (-> native Harvest,
+diffsinger_tpu.dsp.harvest), 'rmvpe' (NN extractor, needs a checkpoint; see
 diffsinger_tpu.models.rmvpe).
 """
 
 from __future__ import annotations
 
 import functools
-import warnings
 
 import jax
 import jax.numpy as jnp
@@ -184,32 +182,37 @@ class AcfPE(BasePE):
         return f0, uv
 
 
-def initialize_pe(hparams: dict) -> BasePE:
-    """PE registry (reference modules/pe/__init__.py:8-18).
+class HarvestPE(BasePE):
+    """Native Harvest extractor (reference modules/pe/pw.py:7-29 contract:
+    pw.harvest at frame_period = 1000*hop/sr, pad/crop to `length`)."""
 
-    A config that names an extractor whose native implementation would produce
-    *different* f0 than the reference's is a hard error unless explicitly
-    opted into via ``pe_fallback: true`` — silently substituting algorithms
-    poisons binarized datasets (features stop being comparable across runs).
-    """
+    def get_pitch(self, waveform, samplerate, length, *, hop_size, f0_min=65, f0_max=1100,
+                  speed=1, interp_uv=False):
+        from diffsinger_tpu.dsp.harvest import harvest
+
+        hop = int(np.round(hop_size * speed))
+        time_step_ms = 1000 * hop / samplerate
+        f0, _ = harvest(
+            np.asarray(waveform, np.float64), samplerate,
+            f0_floor=f0_min, f0_ceil=f0_max, frame_period=time_step_ms,
+        )
+        f0 = f0.astype(np.float32)
+        if f0.size < length:
+            f0 = np.pad(f0, (0, length - f0.size))
+        f0 = f0[:length]
+        uv = f0 == 0
+        if interp_uv:
+            f0, uv = interp_f0(f0, uv)
+        return f0, uv
+
+
+def initialize_pe(hparams: dict) -> BasePE:
+    """PE registry (reference modules/pe/__init__.py:8-18)."""
     name = hparams.get("pe", "parselmouth")
     if name == "parselmouth":
         return AcfPE()
     if name == "harvest":
-        if hparams.get("pe_fallback", False):
-            warnings.warn(
-                "pe=harvest: native Harvest unavailable; pe_fallback=true "
-                "substitutes the native ACF extractor (f0 will differ from "
-                "pyworld-harvest-binarized datasets)."
-            )
-            return AcfPE()
-        raise NotImplementedError(
-            "pe=harvest requires the pyworld Harvest algorithm, which has no "
-            "native implementation yet. Refusing to silently substitute a "
-            "different f0 extractor (it would poison binarized features). "
-            "Set pe_fallback: true to explicitly opt into the native ACF "
-            "extractor instead."
-        )
+        return HarvestPE()
     if name == "rmvpe":
         from diffsinger_tpu.models.rmvpe import RMVPE
 

@@ -9,11 +9,11 @@ Implements the pieces the reference uses from pyworld
   by a rectangular window of width 2/3·f0, and cepstral liftering with the
   sinc smoothing lifter and the q1 spectral-recovery lifter. Frame-parallel
   FFT math — an excellent XLA fit.
-* :func:`estimate_aperiodicity` — a spectral-floor band-aperiodicity
-  estimator: the ratio between the inter-harmonic spectral floor and the
-  harmonic upper envelope per frequency band. (A faithful D4C port — group
-  delay based — is future work; this estimator serves the same role in the
-  harmonic/aperiodic split.)
+* aperiodicity — :mod:`diffsinger_tpu.dsp.d4c` implements the faithful D4C
+  (group-delay based) estimator used by :func:`world_harmonic_aperiodic`.
+  :func:`estimate_aperiodicity` (a simpler spectral-floor heuristic: the
+  ratio between the inter-harmonic floor and the harmonic upper envelope) is
+  kept as a fast jittable alternative.
 * :func:`synthesize` — overlap-add synthesis: minimum-phase response of the
   envelope excited by pitch-synchronous pulses (periodic part, scaled by
   sqrt(1-ap^2)) plus white noise shaped by the envelope (aperiodic part,
@@ -218,19 +218,29 @@ def world_harmonic_aperiodic(
     waveform: np.ndarray, f0: np.ndarray, *, fs: int, fft_size: int, hop: int,
     rng: jax.Array | None = None,
 ):
-    """Full WORLD-style decomposition: analyze (cheaptrick + aperiodicity) and
-    re-synthesize the harmonic part (ap-weighted, noise off) — the reference's
-    'world' split (decomposed_waveform.py:195-230)."""
+    """Full WORLD-style decomposition: analyze (cheaptrick + D4C aperiodicity)
+    and re-synthesize the harmonic part (ap-weighted, noise off) — the
+    reference's 'world' split (decomposed_waveform.py:195-230)."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    x = jnp.asarray(waveform, jnp.float32)
+    # the reference injects 1e-5 noise before WORLD analysis to dodge D4C's
+    # band-limited-signal NaN edge case (decomposed_waveform.py:92-99)
+    noise = np.random.default_rng(0).standard_normal(len(waveform)) * 1e-5
+    x64 = np.asarray(waveform, np.float64) + noise
+    x = jnp.asarray(x64, jnp.float32)
     n_frames = int(np.ceil((len(waveform) + 1) / hop))
     f0 = np.asarray(f0, np.float32)
     if len(f0) < n_frames:
         f0 = np.pad(f0, (0, n_frames - len(f0)), mode="edge")
     f0j = jnp.asarray(f0[:n_frames])
     env = cheaptrick(x, f0j, fs=fs, fft_size=fft_size, hop=hop)
-    ap = estimate_aperiodicity(x, f0j, fs=fs, fft_size=fft_size, hop=hop)
+    from diffsinger_tpu.dsp.d4c import d4c
+
+    positions = np.arange(n_frames) * (hop / fs)
+    ap = jnp.asarray(
+        d4c(x64, f0[:n_frames].astype(np.float64), positions, fs, fft_size),
+        jnp.float32,
+    )
 
     def fit(w):
         w = np.asarray(w[: len(waveform)])

@@ -157,9 +157,10 @@ def test_acf_pitch_silence_is_unvoiced():
 
 
 def test_pe_registry():
+    from diffsinger_tpu.dsp.pe import HarvestPE
+
     pe = initialize_pe({"pe": "parselmouth"})
     assert isinstance(pe, AcfPE)
-    with pytest.warns(UserWarning):
-        initialize_pe({"pe": "harvest"})
+    assert isinstance(initialize_pe({"pe": "harvest"}), HarvestPE)
     with pytest.raises(ValueError):
         initialize_pe({"pe": "nope"})

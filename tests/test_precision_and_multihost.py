@@ -122,14 +122,10 @@ def test_dur_loss_no_nan_on_negative_linear_predictions():
     assert np.isfinite(np.asarray(grads)).all()
 
 
-def test_harvest_pe_hard_fails_without_optin():
-    from diffsinger_tpu.dsp.pe import AcfPE, initialize_pe
+def test_harvest_pe_is_native():
+    from diffsinger_tpu.dsp.pe import HarvestPE, initialize_pe
 
-    with pytest.raises(NotImplementedError):
-        initialize_pe({"pe": "harvest"})
-    with pytest.warns(UserWarning):
-        pe = initialize_pe({"pe": "harvest", "pe_fallback": True})
-    assert isinstance(pe, AcfPE)
+    assert isinstance(initialize_pe({"pe": "harvest"}), HarvestPE)
 
 
 # ------------------------------------------------------- sampler sharding ----

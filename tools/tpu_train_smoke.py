@@ -1,0 +1,157 @@
+"""Real-device training smoke: binarize -> train (bf16) -> resume, on TPU.
+
+Covers BASELINE config #5's train-step half (the serving half lives in
+bench.py): a tiny synthetic corpus is binarized on the host CPU, then the
+acoustic task trains a few hundred optimizer steps on the real chip with
+`pl_trainer_precision: 16-mixed` (bf16 compute / fp32 params), is interrupted,
+and resumes from the latest checkpoint. Reference semantics being exercised:
+auto-resume (reference basics/base_task.py:462) and step-based val cadence
+(reference basics/base_task.py:433).
+
+Writes docs/perf/train_smoke.json with measured optimizer-steps/s and the
+raw logs under the (gitignored) work dir.
+
+Usage: python tools/tpu_train_smoke.py [--steps 200] [--resume-steps 100]
+"""
+
+import argparse
+import json
+import os
+import pathlib
+import re
+import subprocess
+import sys
+import time
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+SR = 44100
+
+
+def make_corpus(raw: pathlib.Path, dict_path: pathlib.Path, n_items: int = 6):
+    import numpy as np
+
+    sys.path.insert(0, str(ROOT))
+    from diffsinger_tpu.utils.infer_utils import save_wav
+
+    (raw / "wavs").mkdir(parents=True, exist_ok=True)
+    dict_path.write_text("a\ta\nka\tk a\n")
+    rows = ["name,ph_seq,ph_dur,ph_num,note_seq,note_dur,note_slur"]
+    rng = np.random.default_rng(0)
+    for i in range(n_items):
+        f0 = 160.0 + 30 * i
+        dur = 1.5 + 0.4 * i
+        t = np.arange(int(SR * dur)) / SR
+        y = 0.25 * np.sin(2 * np.pi * f0 * t) + 0.12 * np.sin(2 * np.pi * 2 * f0 * t)
+        y += 0.05 * np.sin(2 * np.pi * 3 * f0 * t) + 0.01 * rng.standard_normal(len(t))
+        save_wav(y.astype(np.float32), raw / "wavs" / f"item{i}.wav", SR)
+        d = dur / 4
+        rows.append(
+            f"item{i},AP k a SP,{d:.4f} {d:.4f} {d:.4f} {d:.4f},1 2 1,"
+            f"rest A3 rest,{2 * d:.4f} {d:.4f} {d:.4f},0 0 0"
+        )
+    (raw / "transcriptions.csv").write_text("\n".join(rows) + "\n")
+
+
+def write_config(work: pathlib.Path, raw: pathlib.Path, dict_path: pathlib.Path):
+    cfg = work / "config_smoke.yaml"
+    cfg.write_text(
+        f"""\
+base_config:
+  - {ROOT}/configs/acoustic.yaml
+dictionaries:
+  zh: {dict_path}
+datasets:
+  - raw_data_dir: {raw}
+    speaker: smoke
+    spk_id: 0
+    language: zh
+    test_prefixes: [item0]
+binary_data_dir: {work}/binary
+binarization_args:
+  num_workers: 0
+  shuffle: false
+pe: parselmouth
+use_energy_embed: false
+use_breathiness_embed: false
+use_key_shift_embed: false
+use_speed_embed: false
+augmentation_args:
+  random_pitch_shifting: {{enabled: false}}
+  fixed_pitch_shifting: {{enabled: false}}
+  random_time_stretching: {{enabled: false}}
+max_batch_frames: 4000
+max_batch_size: 8
+log_interval: 20
+val_check_interval: 100
+num_valid_plots: 1
+pl_trainer_precision: 16-mixed
+"""
+    )
+    return cfg
+
+
+def run(cmd, log_path, env=None):
+    print(f"+ {' '.join(map(str, cmd))}")
+    t0 = time.time()
+    with open(log_path, "w") as f:
+        p = subprocess.run([str(c) for c in cmd], stdout=f, stderr=subprocess.STDOUT,
+                           env=env, cwd=ROOT)
+    dt = time.time() - t0
+    text = pathlib.Path(log_path).read_text()
+    if p.returncode != 0:
+        print(text[-4000:])
+        raise SystemExit(f"command failed rc={p.returncode}: {cmd}")
+    return text, dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--resume-steps", type=int, default=100)
+    ap.add_argument("--work", type=str, default=str(ROOT / ".smoke"))
+    args = ap.parse_args()
+
+    work = pathlib.Path(args.work)
+    work.mkdir(parents=True, exist_ok=True)
+    raw = work / "raw"
+    dict_path = work / "dict.txt"
+    make_corpus(raw, dict_path)
+    cfg = write_config(work, raw, dict_path)
+
+    env_cpu = dict(os.environ, JAX_PLATFORMS="cpu")
+    run([sys.executable, ROOT / "scripts" / "binarize.py", "--config", cfg],
+        work / "binarize.log", env=env_cpu)
+
+    # train on the real device (sitecustomize default backend)
+    train_cmd = [sys.executable, ROOT / "scripts" / "train.py", "--config", cfg,
+                 "--exp_name", "tpu_smoke", "--ckpt_root", work / "ckpt"]
+    log1, dt1 = run(train_cmd + ["--max_steps", str(args.steps)], work / "train1.log")
+    total = args.steps + args.resume_steps
+    log2, dt2 = run(train_cmd + ["--max_steps", str(total)], work / "train2.log")
+
+    its1 = [float(m) for m in re.findall(r"\(([\d.]+) it/s\)", log1)]
+    its2 = [float(m) for m in re.findall(r"\(([\d.]+) it/s\)", log2)]
+    resumed = re.search(r"resum\w+ .*?(\d+)", log2, re.IGNORECASE)
+    result = {
+        "device": "tpu (axon tunnel)",
+        "precision": "16-mixed (bf16 compute / fp32 params)",
+        "steps_run1": args.steps,
+        "steps_run2_resume_to": total,
+        "wall_s_run1": round(dt1, 1),
+        "wall_s_run2": round(dt2, 1),
+        # drop the first logged window (includes compile)
+        "steps_per_s_steady": round(max(its1[1:] or its1), 2) if its1 else None,
+        "steps_per_s_all_windows_run1": its1,
+        "steps_per_s_all_windows_run2": its2,
+        "resume_detected": bool(resumed) or ("resum" in log2.lower()),
+        "val_losses_seen": len(re.findall(r"validation", log1 + log2, re.IGNORECASE)),
+        "nan_seen": "nan" in (log1 + log2).lower(),
+    }
+    out = ROOT / "docs" / "perf"
+    out.mkdir(parents=True, exist_ok=True)
+    (out / "train_smoke.json").write_text(json.dumps(result, indent=2) + "\n")
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()
