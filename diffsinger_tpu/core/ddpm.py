@@ -163,17 +163,20 @@ def inference(
     rng: jax.Array,
     x_start: jnp.ndarray | None = None,
     use_shallow_diffusion: bool = False,
+    noise: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Full DDPM inference driver (ddpm.py:221-351) on flat [B, T, D] tensors.
 
-    ``cond_shape_x`` is a [B, T, D] template giving the noise shape.
+    ``cond_shape_x`` is a [B, T, D] template giving the noise shape. ``noise``
+    overrides the PRNG draw (injected-noise regression / RNG-free export).
     """
     timesteps = sched.timesteps
     depth = k_step if depth is None else depth
     t_max = min(depth, k_step) if use_shallow_diffusion else k_step
 
-    rng, sub = jax.random.split(rng)
-    noise = jax.random.normal(sub, cond_shape_x.shape, dtype=jnp.float32)
+    if noise is None:
+        rng, sub = jax.random.split(rng)
+        noise = jax.random.normal(sub, cond_shape_x.shape, dtype=jnp.float32)
 
     if t_max >= timesteps:
         x = noise

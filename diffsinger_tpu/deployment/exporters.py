@@ -28,10 +28,21 @@ import yaml
 
 
 class BaseExporter:
-    def __init__(self, hparams: dict, export_dir: pathlib.Path):
+    def __init__(self, hparams: dict, export_dir: pathlib.Path, fmt: str = "stablehlo"):
+        if fmt not in ("stablehlo", "onnx", "both"):
+            raise ValueError(f"unknown export format {fmt!r}")
         self.hparams = hparams
+        self.fmt = fmt
         self.export_dir = pathlib.Path(export_dir)
         self.export_dir.mkdir(parents=True, exist_ok=True)
+
+    @property
+    def want_stablehlo(self):
+        return self.fmt in ("stablehlo", "both")
+
+    @property
+    def want_onnx(self):
+        return self.fmt in ("onnx", "both")
 
     def export(self):
         self.export_model()
@@ -50,6 +61,21 @@ class BaseExporter:
 
         exp = jexport.export(jax.jit(fn))(*args)
         path.write_bytes(exp.serialize())
+        print(f"| export: {path} ({path.stat().st_size / 1e6:.2f} MB)")
+
+    def _serialize_onnx(self, fn, args, path: pathlib.Path, *, input_names,
+                        output_names, internal_noise=()):
+        """Emit an ONNX graph (self-contained emitter, deployment/onnx/) for
+        OpenUTAU-style consumption (reference acoustic_exporter.py:104-113).
+        `internal_noise` names inputs replaced by in-graph RandomNormalLike
+        sources so the public signature matches the reference's ONNX."""
+        from diffsinger_tpu.deployment.onnx import lower
+
+        gb = lower(fn, args, name=path.stem, input_names=list(input_names),
+                   output_names=list(output_names))
+        for noise_name in internal_noise:
+            gb.internalize_noise(noise_name)
+        path.write_bytes(gb.model_bytes())
         print(f"| export: {path} ({path.stat().st_size / 1e6:.2f} MB)")
 
     def _export_dictionaries(self):
@@ -82,8 +108,8 @@ class DiffSingerAcousticExporter(BaseExporter):
 
     def __init__(self, hparams, export_dir, ckpt_steps: Optional[int] = None,
                  expose_gender=False, expose_velocity=False, freeze_spk=None,
-                 buckets=None):
-        super().__init__(hparams, export_dir)
+                 buckets=None, fmt: str = "stablehlo"):
+        super().__init__(hparams, export_dir, fmt=fmt)
         from diffsinger_tpu.inference.ds_acoustic import DiffSingerAcousticInfer
 
         self.infer = DiffSingerAcousticInfer(hparams, load_vocoder=False, ckpt_steps=ckpt_steps)
@@ -116,28 +142,57 @@ class DiffSingerAcousticExporter(BaseExporter):
             out = model.forward_infer(params, rng, tokens, mel2ph, f0, steps=steps)
             return out.diff_out
 
+        key = jax.random.PRNGKey(0)
+
+        def sampler_onnx(tokens, mel2ph, f0, noise):
+            out = model.forward_infer(self.params, key, tokens, mel2ph, f0,
+                                      steps=steps, noise=noise)
+            return out.diff_out
+
+        def fs2_aux_onnx(tokens, mel2ph, f0):
+            cond, aux = fs2_aux(self.params, tokens, mel2ph, f0)
+            return (cond, aux) if aux is not None else cond
+
         for i, (t_txt, t_mel) in enumerate(self.buckets):
             suffix = "" if i == 0 else f".b{t_txt}x{t_mel}"
             tokens = jnp.zeros((1, t_txt), jnp.int32)
             mel2ph = jnp.zeros((1, t_mel), jnp.int32)
             f0 = jnp.full((1, t_mel), 220.0, jnp.float32)
-            fs2_file = f"{name}.fs2_aux{suffix}.stablehlo"
-            diff_file = f"{name}.diffusion{suffix}.stablehlo"
-            self._serialize(fs2_aux, (self.params, tokens, mel2ph, f0),
-                            self.export_dir / fs2_file)
-            self._serialize(
-                sampler, (self.params, jax.random.PRNGKey(0), tokens, mel2ph, f0),
-                self.export_dir / diff_file,
-            )
-            self.bucket_files[f"{t_txt}x{t_mel}"] = {
-                "fs2_aux": fs2_file, "acoustic": diff_file,
-            }
+            files = {}
+            if self.want_stablehlo:
+                files["fs2_aux"] = f"{name}.fs2_aux{suffix}.stablehlo"
+                files["acoustic"] = f"{name}.diffusion{suffix}.stablehlo"
+                self._serialize(fs2_aux, (self.params, tokens, mel2ph, f0),
+                                self.export_dir / files["fs2_aux"])
+                self._serialize(
+                    sampler, (self.params, jax.random.PRNGKey(0), tokens, mel2ph, f0),
+                    self.export_dir / files["acoustic"],
+                )
+            if self.want_onnx:
+                files["fs2_aux_onnx"] = f"{name}.fs2_aux{suffix}.onnx"
+                files["acoustic_onnx"] = f"{name}.acoustic{suffix}.onnx"
+                out_dims = self.hparams["audio_num_mel_bins"]
+                noise = jnp.zeros((1, t_mel, out_dims), jnp.float32)
+                outs = (["condition", "aux_mel"] if model.use_shallow_diffusion
+                        else ["condition"])
+                self._serialize_onnx(
+                    fs2_aux_onnx, (tokens, mel2ph, f0),
+                    self.export_dir / files["fs2_aux_onnx"],
+                    input_names=["tokens", "mel2ph", "f0"], output_names=outs)
+                self._serialize_onnx(
+                    sampler_onnx, (tokens, mel2ph, f0, noise),
+                    self.export_dir / files["acoustic_onnx"],
+                    input_names=["tokens", "mel2ph", "f0", "noise"],
+                    output_names=["mel"], internal_noise=["noise"])
+            self.bucket_files[f"{t_txt}x{t_mel}"] = files
 
     def export_attachments(self):
         hp = self.hparams
+        first = next(iter(self.bucket_files.values()), {})
         manifest = {
-            "flavor": "stablehlo",
-            "acoustic": f"{hp['exp_name'] or 'acoustic'}.diffusion.stablehlo",
+            "flavor": self.fmt,
+            "acoustic": first.get("acoustic_onnx" if self.fmt == "onnx" else "acoustic",
+                                  f"{hp['exp_name'] or 'acoustic'}.diffusion.stablehlo"),
             "vocoder": hp.get("vocoder", "NsfHifiGAN"),
             "phonemes": "phonemes.json",
             "hidden_size": hp["hidden_size"],
@@ -169,8 +224,8 @@ class DiffSingerVarianceExporter(BaseExporter):
     DEFAULT_BUCKETS = ((64, 512),)
 
     def __init__(self, hparams, export_dir, ckpt_steps: Optional[int] = None,
-                 buckets=None):
-        super().__init__(hparams, export_dir)
+                 buckets=None, fmt: str = "stablehlo"):
+        super().__init__(hparams, export_dir, fmt=fmt)
         from diffsinger_tpu.inference.ds_variance import DiffSingerVarianceInfer
 
         self.infer = DiffSingerVarianceInfer(hparams, ckpt_steps=ckpt_steps, predictions=set())
@@ -201,6 +256,28 @@ class DiffSingerVarianceExporter(BaseExporter):
             )
             return pitch_pred
 
+        key = jax.random.PRNGKey(0)
+
+        def linguistic_onnx(tokens, midi, ph2word, word_dur):
+            return linguistic_dur(self.params, tokens, midi, ph2word, word_dur)
+
+        def pitch_onnx(tokens, midi, ph2word, ph_dur, mel2ph, base_pitch, noise):
+            _, pitch_pred, _ = model.forward_infer(
+                self.params, key, tokens, midi, ph2word, base_pitch,
+                ph_dur=ph_dur, mel2ph=mel2ph, predict_variances=False,
+                noise_pitch=noise,
+            )
+            return pitch_pred
+
+        def variance_onnx(tokens, midi, ph2word, ph_dur, mel2ph, base_pitch,
+                          pitch, noise):
+            _, _, var_pred = model.forward_infer(
+                self.params, key, tokens, midi, ph2word, base_pitch,
+                ph_dur=ph_dur, mel2ph=mel2ph, pitch=pitch, predict_pitch=False,
+                noise_variances=noise,
+            )
+            return tuple(var_pred[v] for v in model.var_list)
+
         for i, (t_ph, t_mel) in enumerate(self.buckets):
             suffix = "" if i == 0 else f".b{t_ph}x{t_mel}"
             tokens = jnp.zeros((1, t_ph), jnp.int32)
@@ -209,25 +286,61 @@ class DiffSingerVarianceExporter(BaseExporter):
             ph_dur = jnp.ones((1, t_ph), jnp.float32)
             word_dur = jnp.ones((1, t_ph), jnp.float32)
             base_pitch = jnp.full((1, t_mel), 60.0, jnp.float32)
-            files = {"linguistic": f"{name}.linguistic_dur{suffix}.stablehlo"}
-            self._serialize(linguistic_dur, (self.params, tokens, midi, ph2word, word_dur),
-                            self.export_dir / files["linguistic"])
-            if model.predict_pitch:
-                mel2ph = jnp.ones((1, t_mel), jnp.int32)
-                files["pitch"] = f"{name}.pitch{suffix}.stablehlo"
-                self._serialize(
-                    pitch_view,
-                    (self.params, jax.random.PRNGKey(0), tokens, midi, ph2word, ph_dur,
-                     mel2ph, base_pitch),
-                    self.export_dir / files["pitch"],
-                )
+            mel2ph = jnp.ones((1, t_mel), jnp.int32)
+            files = {}
+            if self.want_stablehlo:
+                files["linguistic"] = f"{name}.linguistic_dur{suffix}.stablehlo"
+                self._serialize(linguistic_dur, (self.params, tokens, midi, ph2word, word_dur),
+                                self.export_dir / files["linguistic"])
+                if model.predict_pitch:
+                    files["pitch"] = f"{name}.pitch{suffix}.stablehlo"
+                    self._serialize(
+                        pitch_view,
+                        (self.params, jax.random.PRNGKey(0), tokens, midi, ph2word, ph_dur,
+                         mel2ph, base_pitch),
+                        self.export_dir / files["pitch"],
+                    )
+            if self.want_onnx:
+                files["linguistic_onnx"] = f"{name}.linguistic{suffix}.onnx"
+                self._serialize_onnx(
+                    linguistic_onnx, (tokens, midi, ph2word, word_dur),
+                    self.export_dir / files["linguistic_onnx"],
+                    input_names=["tokens", "midi", "ph2word", "word_dur"],
+                    output_names=["encoder_out", "ph_dur_pred"])
+                if model.predict_pitch:
+                    rb = hp["pitch_prediction_args"]["repeat_bins"]
+                    noise = jnp.zeros((1, t_mel, rb), jnp.float32)
+                    files["pitch_onnx"] = f"{name}.pitch{suffix}.onnx"
+                    self._serialize_onnx(
+                        pitch_onnx,
+                        (tokens, midi, ph2word, ph_dur, mel2ph, base_pitch, noise),
+                        self.export_dir / files["pitch_onnx"],
+                        input_names=["tokens", "midi", "ph2word", "ph_dur",
+                                     "mel2ph", "base_pitch", "noise"],
+                        output_names=["pitch_pred"], internal_noise=["noise"])
+                if model.var_list:
+                    trb = hp["variances_prediction_args"]["total_repeat_bins"]
+                    noise = jnp.zeros((1, t_mel, trb), jnp.float32)
+                    pitch = jnp.full((1, t_mel), 60.0, jnp.float32)
+                    files["variance_onnx"] = f"{name}.variance{suffix}.onnx"
+                    self._serialize_onnx(
+                        variance_onnx,
+                        (tokens, midi, ph2word, ph_dur, mel2ph, base_pitch, pitch, noise),
+                        self.export_dir / files["variance_onnx"],
+                        input_names=["tokens", "midi", "ph2word", "ph_dur",
+                                     "mel2ph", "base_pitch", "pitch", "noise"],
+                        output_names=[f"{v}_pred" for v in model.var_list],
+                        internal_noise=["noise"])
             self.bucket_files[f"{t_ph}x{t_mel}"] = files
 
     def export_attachments(self):
         hp = self.hparams
+        first = next(iter(self.bucket_files.values()), {})
         manifest = {
-            "flavor": "stablehlo",
-            "linguistic": f"{hp['exp_name'] or 'variance'}.linguistic_dur.stablehlo",
+            "flavor": self.fmt,
+            "linguistic": first.get(
+                "linguistic_onnx" if self.fmt == "onnx" else "linguistic",
+                f"{hp['exp_name'] or 'variance'}.linguistic_dur.stablehlo"),
             "phonemes": "phonemes.json",
             "hidden_size": hp["hidden_size"],
             "predict_dur": hp["predict_dur"],
@@ -248,8 +361,8 @@ class DiffSingerVarianceExporter(BaseExporter):
 class NSFHiFiGANExporter(BaseExporter):
     DEFAULT_BUCKETS = (512,)
 
-    def __init__(self, hparams, export_dir, buckets=None):
-        super().__init__(hparams, export_dir)
+    def __init__(self, hparams, export_dir, buckets=None, fmt: str = "stablehlo"):
+        super().__init__(hparams, export_dir, fmt=fmt)
         from diffsinger_tpu.vocoders.nsf_hifigan import NsfHifiGAN
 
         self.vocoder = NsfHifiGAN(hparams)
@@ -262,19 +375,34 @@ class NSFHiFiGANExporter(BaseExporter):
         def voc(params, mel, f0):
             return self.vocoder.model.apply(params, mel, f0)
 
+        def voc_onnx(mel, f0):
+            return self.vocoder.model.apply(self.vocoder.params, mel, f0)
+
         for i, t_mel in enumerate(self.buckets):
             suffix = "" if i == 0 else f".b{t_mel}"
             mel = jnp.zeros((1, t_mel, self.vocoder.config.num_mels), jnp.float32)
             f0 = jnp.full((1, t_mel), 220.0, jnp.float32)
-            fname = f"nsf_hifigan{suffix}.stablehlo"
-            self._serialize(voc, (self.vocoder.params, mel, f0), self.export_dir / fname)
-            self.bucket_files[str(t_mel)] = fname
+            files = {}
+            if self.want_stablehlo:
+                files["model"] = f"nsf_hifigan{suffix}.stablehlo"
+                self._serialize(voc, (self.vocoder.params, mel, f0),
+                                self.export_dir / files["model"])
+            if self.want_onnx:
+                files["model_onnx"] = f"nsf_hifigan{suffix}.onnx"
+                self._serialize_onnx(voc_onnx, (mel, f0),
+                                     self.export_dir / files["model_onnx"],
+                                     input_names=["mel", "f0"],
+                                     output_names=["waveform"])
+            self.bucket_files[str(t_mel)] = files
 
     def export_attachments(self):
         cfg = self.vocoder.config
+        first = next(iter(self.bucket_files.values()), {})
         manifest = {
-            "flavor": "stablehlo",
-            "model": "nsf_hifigan.stablehlo",
+            "flavor": self.fmt,
+            "model": first.get(
+                "model_onnx" if self.fmt == "onnx" else "model",
+                "nsf_hifigan.stablehlo"),
             "sample_rate": cfg.sampling_rate,
             "hop_size": cfg.hop_size,
             "num_mel_bins": cfg.num_mels,

@@ -102,7 +102,10 @@ class VocoderArtifactRuntime:
         self.hop_size = int(self.manifest["hop_size"])
         self._loaded: Dict[str, object] = {}
         buckets = self.manifest.get("buckets") or {"512": self.manifest["model"]}
-        self.buckets = sorted((int(k), v) for k, v in buckets.items())
+        # bucket values are {"model": file, ...} dicts (legacy: bare filename)
+        self.buckets = sorted(
+            (int(k), v["model"] if isinstance(v, dict) else v)
+            for k, v in buckets.items())
         self._jexport = jexport
 
     def vocode(self, mel: np.ndarray, f0: np.ndarray) -> np.ndarray:

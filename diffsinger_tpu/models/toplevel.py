@@ -243,6 +243,7 @@ class DiffSingerAcoustic:
                     rng=rng,
                     x_start=src_spec,
                     use_shallow_diffusion=self.use_shallow_diffusion,
+                    noise=noise,
                 )
             else:
                 t0 = t_start_infer if t_start_infer is not None else hp.get("T_start_infer", self.t_start)
@@ -572,12 +573,16 @@ class DiffSingerVariance:
         note_midi=None, note_rest=None, note_dur=None, note_glide=None, mel2note=None,
         steps: Optional[int] = None,
         predict_pitch: Optional[bool] = None, predict_variances: Optional[bool] = None,
+        noise_pitch: Optional[jnp.ndarray] = None,
+        noise_variances: Optional[jnp.ndarray] = None,
     ):
         """Inference forward. Returns (dur_pred, pitch_pred, variances_pred dict).
 
         ``predict_pitch``/``predict_variances`` can statically disable branches
         for a particular segment (the reference toggles model attributes,
         ds_variance.py:408-425; here they are static jit arguments).
+        ``noise_pitch``/``noise_variances`` override the PRNG draws (injected-
+        noise regression testing and RNG-free ONNX export).
         """
         hp = self.hp
         do_pitch = self.predict_pitch and (predict_pitch is not False)
@@ -627,7 +632,7 @@ class DiffSingerVariance:
                 )
 
             shape = jnp.zeros(pitch_cond.shape[:2] + (self.pitch_transform.repeat_bins,))
-            x = self._infer_core(pitch_step, shape, rng_p, steps)
+            x = self._infer_core(pitch_step, shape, rng_p, steps, noise=noise_pitch)
             pitch_pred = self.pitch_transform.denorm(x)
 
         variances_pred = {}
@@ -650,24 +655,26 @@ class DiffSingerVariance:
             f = len(self.var_list)
             rb = self.variance_transform.repeat_bins
             shape = jnp.zeros(var_cond.shape[:2] + (f * rb,))
-            x = self._infer_core(var_step, shape, rng_v, steps)
+            x = self._infer_core(var_step, shape, rng_v, steps, noise=noise_variances)
             outs = self.variance_transform.denorm(self.variance_transform.unflatten(x))
             variances_pred = {v: o for v, o in zip(self.var_list, outs)}
 
         return dur_pred, pitch_pred, variances_pred
 
-    def _infer_core(self, denoise_fn, shape_like, rng, steps):
-        """Sample a flat [B, T, D] tensor with the configured core."""
+    def _infer_core(self, denoise_fn, shape_like, rng, steps, noise=None):
+        """Sample a flat [B, T, D] tensor with the configured core. ``noise``
+        overrides the PRNG draw (regression testing / RNG-free export)."""
         hp = self.hp
         if self.diffusion_type == "ddpm":
             return ddpm_core.inference(
                 denoise_fn, self.schedule, shape_like,
                 k_step=self.k_step, depth=hp.get("K_step_infer", self.k_step),
                 speedup=hp.get("diff_speedup", 10),
-                algorithm=hp.get("diff_accelerator", "ddim"), rng=rng,
+                algorithm=hp.get("diff_accelerator", "ddim"), rng=rng, noise=noise,
             )
         nsteps = steps if steps is not None else hp.get("sampling_steps", 20)
-        noise = jax.random.normal(rng, shape_like.shape, jnp.float32)
+        if noise is None:
+            noise = jax.random.normal(rng, shape_like.shape, jnp.float32)
         return reflow_core.sample_ode(
             denoise_fn, noise, t_start=0.0, steps=nsteps,
             algorithm=hp.get("sampling_algorithm", "euler"),

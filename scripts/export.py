@@ -50,7 +50,9 @@ def _parse_buckets(value):
 @click.option("--freeze_spk", type=str, required=False)
 @click.option("--buckets", type=str, required=False,
               help="shape set, e.g. '64x512,128x1024' (t_txt x t_mel per bucket)")
-def acoustic(exp, ckpt, out, expose_gender, expose_velocity, freeze_spk, buckets):
+@click.option("--format", "fmt", type=click.Choice(["stablehlo", "onnx", "both"]),
+              default="stablehlo", help="artifact format (onnx = OpenUTAU-style graphs)")
+def acoustic(exp, ckpt, out, expose_gender, expose_velocity, freeze_spk, buckets, fmt):
     hp = _load_hp(exp, acoustic=True)
     out = out or (root_dir / "artifacts" / exp)
     from diffsinger_tpu.deployment.exporters import DiffSingerAcousticExporter
@@ -58,7 +60,7 @@ def acoustic(exp, ckpt, out, expose_gender, expose_velocity, freeze_spk, buckets
     DiffSingerAcousticExporter(
         hp, out, ckpt_steps=ckpt,
         expose_gender=expose_gender, expose_velocity=expose_velocity, freeze_spk=freeze_spk,
-        buckets=_parse_buckets(buckets),
+        buckets=_parse_buckets(buckets), fmt=fmt,
     ).export()
 
 
@@ -68,13 +70,15 @@ def acoustic(exp, ckpt, out, expose_gender, expose_velocity, freeze_spk, buckets
 @click.option("--out", type=click.Path(file_okay=False, path_type=pathlib.Path), required=False)
 @click.option("--buckets", type=str, required=False,
               help="shape set, e.g. '64x512,128x1024' (t_ph x t_mel per bucket)")
-def variance(exp, ckpt, out, buckets):
+@click.option("--format", "fmt", type=click.Choice(["stablehlo", "onnx", "both"]),
+              default="stablehlo", help="artifact format (onnx = OpenUTAU-style graphs)")
+def variance(exp, ckpt, out, buckets, fmt):
     hp = _load_hp(exp, acoustic=False)
     out = out or (root_dir / "artifacts" / exp)
     from diffsinger_tpu.deployment.exporters import DiffSingerVarianceExporter
 
     DiffSingerVarianceExporter(hp, out, ckpt_steps=ckpt,
-                               buckets=_parse_buckets(buckets)).export()
+                               buckets=_parse_buckets(buckets), fmt=fmt).export()
 
 
 @main.command(name="nsf-hifigan", help="Export NSF-HiFiGAN vocoder")
@@ -83,14 +87,16 @@ def variance(exp, ckpt, out, buckets):
 @click.option("--out", type=click.Path(file_okay=False, path_type=pathlib.Path), required=False)
 @click.option("--buckets", type=str, required=False,
               help="mel-length set, e.g. '256,512,1024'")
-def nsf_hifigan(config, out, buckets):
+@click.option("--format", "fmt", type=click.Choice(["stablehlo", "onnx", "both"]),
+              default="stablehlo", help="artifact format (onnx = OpenUTAU-style graphs)")
+def nsf_hifigan(config, out, buckets, fmt):
     from diffsinger_tpu.config import load_config
 
     hp = load_config(config, infer=True)
     out = out or (root_dir / "artifacts" / "nsf_hifigan")
     from diffsinger_tpu.deployment.exporters import NSFHiFiGANExporter
 
-    NSFHiFiGANExporter(hp, out, buckets=_parse_buckets(buckets)).export()
+    NSFHiFiGANExporter(hp, out, buckets=_parse_buckets(buckets), fmt=fmt).export()
 
 
 if __name__ == "__main__":
