@@ -89,3 +89,35 @@ def test_override_config_merges_nested():
     old = {"a": {"b": 1, "c": 2}, "d": 3}
     override_config(old, {"a": {"b": 10}, "e": 4})
     assert old == {"a": {"b": 10, "c": 2}, "d": 3, "e": 4}
+
+
+def test_schema_doc_covers_every_reference_key():
+    """docs/ConfigurationSchemas.md documents every key the reference's
+    schema doc does (combined `*_min/max` rows count for both bounds).
+    Skipped when the reference tree is absent (doc-parity check only)."""
+    import pathlib
+    import re
+
+    import pytest
+
+    ref_doc = pathlib.Path("/root/reference/docs/ConfigurationSchemas.md")
+    if not ref_doc.exists():
+        pytest.skip("reference tree not mounted")
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    doc = (repo / "docs" / "ConfigurationSchemas.md").read_text(encoding="utf8")
+
+    ref_keys = re.findall(r"^###\s+([a-zA-Z0-9_.]+)\s*$", ref_doc.read_text(encoding="utf8"), re.M)
+    assert len(ref_keys) > 150
+
+    def covered(k):
+        leaf = k.split(".")[-1]
+        if k in doc or leaf in doc:
+            return True
+        if leaf.endswith("_max") and leaf[:-4] + "_min/max" in doc:
+            return True
+        if leaf.endswith("max") and re.search(re.escape(leaf[:-3]) + r"min/max", doc):
+            return True
+        return False
+
+    missing = [k for k in ref_keys if not covered(k)]
+    assert not missing, missing

@@ -188,3 +188,115 @@ def test_multi_language_dictionaries():
     # unmerged phonemes stay language-distinct
     distinct = pd.encode("zh/i ja/i")
     assert distinct[0] != distinct[1]
+
+
+def test_full_pinyin_dictionary_generated_and_complete():
+    """The shipped opencpop-extension-scale dictionary regenerates exactly
+    from the phonological rules (tools/gen_pinyin_dict.py) and has the
+    expected surface: 601 syllables, 62 phonemes, the singing-extension
+    conventions (reference dictionaries/opencpop-extension.txt)."""
+    import sys
+
+    sys.path.insert(0, str(REPO / "tools"))
+    from gen_pinyin_dict import build_table
+
+    table = build_table()
+    shipped = dict(
+        line.rstrip("\n").split("\t")
+        for line in open(REPO / "dictionaries" / "opencpop-extension.txt")
+    )
+    assert shipped == table
+    assert len(shipped) == 601
+    phones = set(p for v in shipped.values() for p in v.split())
+    assert len(phones) == 62
+    # the extension conventions
+    assert shipped["yan"] == "y En" and shipped["ye"] == "y E"
+    assert shipped["zhi"] == "zh ir" and shipped["zi"] == "z i0"
+    assert shipped["ju"] == "j v" and shipped["nv"] == "n v"
+    assert shipped["zhyi"] == "zh i" and shipped["ywu"] == "y u"
+    assert shipped["bve"] == "b ve" and shipped["biang"] == "b iang"
+
+
+def test_all_shipped_samples_encode_with_full_dictionary():
+    """Every shipped sample's ph_seq is covered by the full dictionary's
+    phoneme inventory (BASELINE config #2 needs samples 02-07 runnable)."""
+    from diffsinger_tpu.utils.text import PhonemeDictionary
+
+    pd = PhonemeDictionary({"zh": REPO / "dictionaries" / "opencpop-extension.txt"})
+    sample_files = sorted((REPO / "samples").glob("*.ds"))
+    assert len(sample_files) >= 8
+    for path in sample_files:
+        with open(path, encoding="utf8") as f:
+            segments = json.load(f)
+        for seg in segments:
+            ids = pd.encode(seg["ph_seq"], lang="zh")
+            assert (np.asarray(ids) > 0).all(), path.name
+
+
+def test_variance_to_acoustic_chain_on_shipped_sample(tmp_path):
+    """Score-only shipped sample (06: ü-series + apical-vowel extension
+    syllables) through variance auto-completion then acoustic synthesis,
+    entirely from shipped assets (BASELINE config #2's shape)."""
+    from diffsinger_tpu.inference.ds_acoustic import DiffSingerAcousticInfer
+    from diffsinger_tpu.inference.ds_variance import DiffSingerVarianceInfer
+    from diffsinger_tpu.models.toplevel import DiffSingerAcoustic, DiffSingerVariance
+    from diffsinger_tpu.utils.ckpt import checkpoint_path, save_checkpoint
+    from diffsinger_tpu.utils.text import load_phoneme_dictionary
+
+    full_dict = REPO / "dictionaries" / "opencpop-extension.txt"
+
+    def mk(base, overrides, name):
+        hp = _make_exp(tmp_path, base, overrides, name)
+        hp["dictionary"] = str(full_dict)
+        hp.pop("dictionaries", None)
+        shutil.copy(full_dict, pathlib.Path(hp["work_dir"]) / "dictionary.txt")
+        hp["infer"] = True
+        return hp
+
+    hp_var = mk(REPO / "configs" / "variance.yaml", dict(
+        hidden_size=32, enc_layers=1, sampling_steps=2,
+        dur_prediction_args=dict(
+            arch="fs2", hidden_size=32, dropout=0.1, num_layers=1, kernel_size=3,
+            log_offset=1.0, loss_type="mse",
+            lambda_pdur_loss=0.3, lambda_wdur_loss=1.0, lambda_sdur_loss=3.0,
+        ),
+        pitch_prediction_args=dict(
+            pitd_norm_min=-8.0, pitd_norm_max=8.0,
+            pitd_clip_min=-12.0, pitd_clip_max=12.0, repeat_bins=8,
+            backbone_type="wavenet",
+            backbone_args=dict(num_layers=2, num_channels=16, dilation_cycle_length=2),
+        ),
+    ), "chain_var_shipped")
+    vocab = len(load_phoneme_dictionary(hp_var))
+    vmodel = DiffSingerVariance(hp_var, vocab_size=vocab)
+    save_checkpoint(checkpoint_path(hp_var["work_dir"], 10),
+                    vmodel.init(jax.random.PRNGKey(0)), category="variance",
+                    global_step=10)
+
+    with open(REPO / "samples" / "06_lv_ye.ds", encoding="utf8") as f:
+        segments = json.load(f)
+    var_infer = DiffSingerVarianceInfer(hp_var, predictions=set())
+    var_out = tmp_path / "var_out"
+    var_infer.run_inference(segments, out_dir=var_out, title="c06", seed=1)
+    with open(var_out / "c06.ds", encoding="utf8") as f:
+        completed = json.load(f)
+    assert "ph_dur" in completed[0] and "f0_seq" in completed[0]
+
+    hp_ac = mk(REPO / "configs" / "acoustic.yaml", dict(
+        hidden_size=32, enc_layers=1, sampling_steps=2, audio_num_mel_bins=16,
+        spec_min=[-5], spec_max=[0], use_shallow_diffusion=False,
+        backbone_args=dict(num_channels=16, num_layers=1, kernel_size=7,
+                           dropout_rate=0.0, strong_cond=True),
+    ), "chain_ac_shipped")
+    vocab_ac = len(load_phoneme_dictionary(hp_ac))
+    amodel = DiffSingerAcoustic(hp_ac, vocab_size=vocab_ac, out_dims=16)
+    save_checkpoint(checkpoint_path(hp_ac["work_dir"], 10),
+                    amodel.init(jax.random.PRNGKey(0)), category="acoustic",
+                    global_step=10)
+    ac_infer = DiffSingerAcousticInfer(hp_ac, load_vocoder=False)
+    ac_out = tmp_path / "ac_out"
+    ac_infer.run_inference(completed, out_dir=ac_out, title="c06a",
+                           seed=1, steps=2, save_mel=True)
+    data = np.load(ac_out / "c06a.mel.npz")
+    mel0 = data["mel_0"]
+    assert mel0.ndim == 2 and mel0.shape[1] == 16 and np.isfinite(mel0).all()
