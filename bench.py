@@ -1,9 +1,12 @@
 """Headline benchmark: end-to-end mel frames/sec/chip for the flagship pipeline
 (50-step acoustic sampling + NSF-HiFiGAN vocoder at 44.1 kHz, BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "mfu", ...}.
 ``vs_baseline`` is measured against the 20x-realtime-per-chip target
 (~1723 mel frames/s e2e, BASELINE.md) since the reference publishes no numbers.
+``mfu`` is derived from XLA's own cost analysis (compiled-program flops /
+wall-time / peak); peak defaults to a v5e chip's 197 bf16 TFLOP/s and can be
+overridden with DS_BENCH_PEAK_TFLOPS.
 
 Runs on whatever jax.devices() provides (the TPU under axon; CPU elsewhere).
 """
@@ -11,11 +14,13 @@ Runs on whatever jax.devices() provides (the TPU under axon; CPU elsewhere).
 from __future__ import annotations
 
 import json
+import pathlib
 import time
 
 import numpy as np
 
 TARGET_FRAMES_PER_SEC = 44100 / 512 * 20  # 20x realtime @ hop 512
+ROOT = pathlib.Path(__file__).resolve().parent
 
 
 def main():
@@ -31,7 +36,7 @@ def main():
 
     import os
 
-    hp = load_config("/root/reference/configs/acoustic.yaml", save_snapshot=False)
+    hp = load_config(str(ROOT / "configs" / "acoustic.yaml"), save_snapshot=False)
     hp["sampling_steps"] = 50  # headline config: 50-step sampling
     n_mels = hp["audio_num_mel_bins"]
     dtype = {"bf16": jnp.bfloat16, "f32": None}[os.environ.get("DS_BENCH_DTYPE", "bf16")]
@@ -57,7 +62,6 @@ def main():
     )
     f0 = jnp.asarray(np.full((B, T_MEL), 220.0, np.float32))
 
-    @jax.jit
     def e2e(params, voc_params, rng, tokens, mel2ph, f0):
         out = model.forward_infer(params, rng, tokens, mel2ph, f0)
         wav = vocoder.apply(voc_params, out.diff_out, f0)
@@ -66,23 +70,40 @@ def main():
         return jnp.abs(wav).mean()
 
     key = jax.random.PRNGKey(2)
-    v = float(e2e(params, voc_params, key, tokens, mel2ph, f0))  # compile
+    jitted = jax.jit(e2e)
+    args = (params, voc_params, key, tokens, mel2ph, f0)
+    v = float(jitted(*args))  # compile
     assert np.isfinite(v)
+
+    # FLOP model from XLA's own cost analysis of the compiled program
+    flops = None
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        pass
 
     n_iters = 3
     t0 = time.perf_counter()
     for i in range(n_iters):
-        v = float(e2e(params, voc_params, jax.random.fold_in(key, i), tokens, mel2ph, f0))
+        v = float(jitted(params, voc_params, jax.random.fold_in(key, i), tokens, mel2ph, f0))
     dt = (time.perf_counter() - t0) / n_iters
     assert np.isfinite(v)
 
     frames_per_sec = B * T_MEL / dt
-    print(json.dumps({
+    peak_tflops = float(os.environ.get("DS_BENCH_PEAK_TFLOPS", "197"))  # v5e bf16
+    result = {
         "metric": "e2e_mel_frames_per_sec_per_chip_50step_acoustic_plus_nsf_hifigan",
         "value": round(frames_per_sec, 1),
         "unit": "mel frames/s",
         "vs_baseline": round(frames_per_sec / TARGET_FRAMES_PER_SEC, 3),
-    }))
+    }
+    if flops:
+        result["model_tflops_per_run"] = round(flops / 1e12, 4)
+        result["mfu"] = round(flops / dt / (peak_tflops * 1e12), 4)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

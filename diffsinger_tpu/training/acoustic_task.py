@@ -73,7 +73,7 @@ class AcousticTask:
                 )
                 if not hasattr(self, "_vocoder"):
                     self._vocoder = None
-                    if hp.get("val_with_vocoder", False):
+                    if hp.get("val_with_vocoder", True):
                         try:
                             from diffsinger_tpu.vocoders.registry import get_vocoder_cls
 

@@ -197,8 +197,19 @@ class BaseTask:
                         opt_state=ckpt_utils.restore_params(state.opt_state, blob["opt_state"])
                     )
                 except Exception as e:
+                    # a silently reinitialized optimizer changes training
+                    # dynamics (the reference instead repairs param groups,
+                    # basics/base_task.py:477-514) — require explicit opt-in
+                    if not hp.get("allow_optimizer_state_reset", False):
+                        raise RuntimeError(
+                            f"optimizer state in {latest} does not match the "
+                            f"current optimizer config ({e}). Set "
+                            f"allow_optimizer_state_reset: true to continue "
+                            f"with a reinitialized optimizer (LR schedule "
+                            f"still re-evaluates from the global step)."
+                        ) from e
                     print(f"| optimizer state not restored ({e}); reinitialized "
-                          f"(LR schedule re-evaluates from the global step)")
+                          f"by allow_optimizer_state_reset=true")
             import jax.numpy as jnp
             import optax
 

@@ -4,6 +4,7 @@ datasets, with augmentation enabled."""
 
 import pickle
 
+import pathlib
 import numpy as np
 import pytest
 
@@ -46,7 +47,7 @@ def corpus(tmp_path_factory):
 
 def test_acoustic_binarize_and_dataset(corpus):
     tmp, raw, dict_path = corpus
-    hp = load_config("/root/reference/configs/acoustic.yaml", save_snapshot=False)
+    hp = load_config(str(pathlib.Path(__file__).resolve().parents[1] / "configs" / "acoustic.yaml"), save_snapshot=False)
     hp.update(
         binary_data_dir=str(tmp / "binary_acoustic"),
         dictionary=str(dict_path),
@@ -103,7 +104,7 @@ def test_acoustic_binarize_and_dataset(corpus):
 
 def test_variance_binarize_and_dataset(corpus):
     tmp, raw, dict_path = corpus
-    hp = load_config("/root/reference/configs/variance.yaml", save_snapshot=False)
+    hp = load_config(str(pathlib.Path(__file__).resolve().parents[1] / "configs" / "variance.yaml"), save_snapshot=False)
     hp.update(
         binary_data_dir=str(tmp / "binary_variance"),
         dictionary=str(dict_path),

@@ -2,6 +2,7 @@
 model predicts ph_dur/f0/energy into a new .ds, which the acoustic model (with
 multi-speaker mix + energy embed) synthesizes to a wav."""
 
+import pathlib
 import json
 import wave
 
@@ -23,7 +24,7 @@ def test_variance_to_acoustic_chain(tmp_path):
 
     # ---------------- variance model ----------------
     hp_var = _make_exp(
-        tmp_path, "/root/reference/configs/variance.yaml",
+        tmp_path, str(pathlib.Path(__file__).resolve().parents[1] / "configs" / "variance.yaml"),
         dict(
             TINY_COMMON,
             predict_energy=True,
@@ -65,7 +66,7 @@ def test_variance_to_acoustic_chain(tmp_path):
 
     # ---------------- acoustic model (multi-speaker + energy embed) -------
     hp_ac = _make_exp(
-        tmp_path, "/root/reference/configs/acoustic.yaml",
+        tmp_path, str(pathlib.Path(__file__).resolve().parents[1] / "configs" / "acoustic.yaml"),
         dict(
             TINY_COMMON,
             audio_num_mel_bins=16,

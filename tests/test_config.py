@@ -1,3 +1,4 @@
+import pathlib
 """Config cascade tests (behavior of reference utils/hparams.py)."""
 
 import textwrap
@@ -75,7 +76,7 @@ def test_work_dir_snapshot_precedence(tmp_path):
 
 
 def test_reference_acoustic_config_loads():
-    cfg = load_config("/root/reference/configs/acoustic.yaml", save_snapshot=False)
+    cfg = load_config(str(pathlib.Path(__file__).resolve().parents[1] / "configs" / "acoustic.yaml"), save_snapshot=False)
     # spot-check cascade over base.yaml
     assert cfg["hidden_size"] == 256
     assert cfg["audio_num_mel_bins"] == 128

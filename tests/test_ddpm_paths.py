@@ -1,6 +1,7 @@
 """Coverage for the DDPM-core acoustic model across all accelerators and the
 melody-encoder variance path (glide embeds)."""
 
+import pathlib
 import numpy as np
 import pytest
 
@@ -12,7 +13,7 @@ from diffsinger_tpu.config import load_config
 
 @pytest.fixture(scope="module")
 def ddpm_hp():
-    hp = load_config("/root/reference/configs/acoustic.yaml", save_snapshot=False)
+    hp = load_config(str(pathlib.Path(__file__).resolve().parents[1] / "configs" / "acoustic.yaml"), save_snapshot=False)
     hp.update(
         hidden_size=32, enc_layers=1, audio_num_mel_bins=16,
         diffusion_type="ddpm", timesteps=40, K_step=20, K_step_infer=20,
@@ -73,7 +74,7 @@ def test_ddpm_training_t_range(ddpm_hp):
 def test_melody_encoder_variance_path():
     from diffsinger_tpu.models.toplevel import DiffSingerVariance
 
-    hp = load_config("/root/reference/configs/variance.yaml", save_snapshot=False)
+    hp = load_config(str(pathlib.Path(__file__).resolve().parents[1] / "configs" / "variance.yaml"), save_snapshot=False)
     hp.update(
         hidden_size=32, enc_layers=1,
         use_melody_encoder=True, use_glide_embed=True,

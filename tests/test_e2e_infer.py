@@ -13,8 +13,9 @@ import yaml
 
 import jax
 
-SAMPLE = "/root/reference/samples/00_我多想说再见啊.ds"
-DICT = "/root/reference/dictionaries/opencpop-extension.txt"
+REPO = pathlib.Path(__file__).resolve().parents[1]
+SAMPLE = str(REPO / "samples" / "00_xiao_xing_xing.ds")
+DICT = str(REPO / "dictionaries" / "opencpop-extension.txt")
 
 
 def _make_exp(tmp_path, base_cfg: str, overrides: dict, name: str):
@@ -50,7 +51,7 @@ def test_acoustic_ds_to_wav(tmp_path, ds_segments):
     from diffsinger_tpu.inference.ds_acoustic import DiffSingerAcousticInfer
 
     hp = _make_exp(
-        tmp_path, "/root/reference/configs/acoustic.yaml",
+        tmp_path, str(pathlib.Path(__file__).resolve().parents[1] / "configs" / "acoustic.yaml"),
         dict(
             TINY_COMMON,
             audio_num_mel_bins=16,
@@ -110,7 +111,7 @@ def test_variance_ds_roundtrip(tmp_path, ds_segments):
     from diffsinger_tpu.inference.ds_variance import DiffSingerVarianceInfer
 
     hp = _make_exp(
-        tmp_path, "/root/reference/configs/variance.yaml",
+        tmp_path, str(pathlib.Path(__file__).resolve().parents[1] / "configs" / "variance.yaml"),
         dict(
             TINY_COMMON,
             predict_energy=True,

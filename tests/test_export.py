@@ -1,6 +1,7 @@
 """Deployment export tests: StableHLO artifacts round-trip through
 jax.export.deserialize and produce the same outputs as the live model."""
 
+import pathlib
 import numpy as np
 import pytest
 
@@ -12,7 +13,7 @@ from tests.test_e2e_infer import TINY_COMMON, _make_exp
 
 def test_acoustic_export_roundtrip(tmp_path):
     hp = _make_exp(
-        tmp_path, "/root/reference/configs/acoustic.yaml",
+        tmp_path, str(pathlib.Path(__file__).resolve().parents[1] / "configs" / "acoustic.yaml"),
         dict(
             TINY_COMMON,
             audio_num_mel_bins=16,
@@ -71,7 +72,7 @@ def test_acoustic_export_bucket_set(tmp_path):
     import yaml
 
     hp = _make_exp(
-        tmp_path, "/root/reference/configs/acoustic.yaml",
+        tmp_path, str(pathlib.Path(__file__).resolve().parents[1] / "configs" / "acoustic.yaml"),
         dict(
             TINY_COMMON,
             audio_num_mel_bins=16,
@@ -121,7 +122,7 @@ def test_artifact_runtime_bucket_dispatch(tmp_path):
     """AcousticArtifactRuntime picks the smallest fitting bucket, pads, runs
     the deserialized artifact, and trims — matching the direct padded call."""
     hp = _make_exp(
-        tmp_path, "/root/reference/configs/acoustic.yaml",
+        tmp_path, str(pathlib.Path(__file__).resolve().parents[1] / "configs" / "acoustic.yaml"),
         dict(
             TINY_COMMON,
             audio_num_mel_bins=16,

@@ -2,6 +2,7 @@
 train/infer forward passes of the top-level acoustic and variance models
 built from the reference configs (tiny overrides for CPU speed)."""
 
+import pathlib
 import numpy as np
 import pytest
 
@@ -24,7 +25,7 @@ TINY_ACOUSTIC = dict(
 
 @pytest.fixture(scope="module")
 def acoustic_hp():
-    hp = load_config("/root/reference/configs/acoustic.yaml", save_snapshot=False)
+    hp = load_config(str(pathlib.Path(__file__).resolve().parents[1] / "configs" / "acoustic.yaml"), save_snapshot=False)
     hp.update(
         hidden_size=32, enc_layers=2, audio_num_mel_bins=16, sampling_steps=3,
         backbone_args=dict(num_channels=32, num_layers=2, kernel_size=7,
@@ -39,7 +40,7 @@ def acoustic_hp():
 
 @pytest.fixture(scope="module")
 def variance_hp():
-    hp = load_config("/root/reference/configs/variance.yaml", save_snapshot=False)
+    hp = load_config(str(pathlib.Path(__file__).resolve().parents[1] / "configs" / "variance.yaml"), save_snapshot=False)
     hp.update(
         hidden_size=32, enc_layers=1,
         predict_energy=True, predict_breathiness=True,

@@ -8,6 +8,7 @@ and the exporter integration (reference contract:
 deployment/exporters/acoustic_exporter.py:104-113, OpenUTAU-style graphs).
 """
 
+import pathlib
 import numpy as np
 import pytest
 
@@ -140,7 +141,7 @@ def test_acoustic_exporter_onnx(tmp_path):
     from tests.test_e2e_infer import TINY_COMMON, _make_exp
 
     hp = _make_exp(
-        tmp_path, "/root/reference/configs/acoustic.yaml",
+        tmp_path, str(pathlib.Path(__file__).resolve().parents[1] / "configs" / "acoustic.yaml"),
         dict(TINY_COMMON, audio_num_mel_bins=16,
              backbone_args=dict(num_channels=32, num_layers=1, kernel_size=7,
                                 dropout_rate=0.0, strong_cond=True),

@@ -1,6 +1,7 @@
 """Batched serving test: grouped segments produce the same per-segment output
 lengths and finite audio."""
 
+import pathlib
 import json
 
 import numpy as np
@@ -13,7 +14,7 @@ from tests.test_e2e_infer import SAMPLE, TINY_COMMON, _make_exp
 
 def test_acoustic_server_batches_segments(tmp_path):
     hp = _make_exp(
-        tmp_path, "/root/reference/configs/acoustic.yaml",
+        tmp_path, str(pathlib.Path(__file__).resolve().parents[1] / "configs" / "acoustic.yaml"),
         dict(
             TINY_COMMON,
             audio_num_mel_bins=16,
@@ -43,6 +44,10 @@ def test_acoustic_server_batches_segments(tmp_path):
 
     with open(SAMPLE, encoding="utf-8") as f:
         segments = json.load(f)[:3]
+    while len(segments) < 3:  # shipped sample has 2 segments; batch 3
+        extra = dict(segments[0])
+        extra["offset"] = float(extra.get("offset", 0.0)) + 10.0 * len(segments)
+        segments.append(extra)
 
     from diffsinger_tpu.inference.serving import AcousticServer
 

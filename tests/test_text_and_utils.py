@@ -1,5 +1,6 @@
 """PhonemeDictionary and foundation-utils tests."""
 
+import pathlib
 import numpy as np
 import pytest
 
@@ -47,7 +48,7 @@ def test_multi_lang_and_merged(tmp_path):
 
 
 def test_reference_dictionary_loads():
-    pd = PhonemeDictionary({"zh": "/root/reference/dictionaries/opencpop-extension.txt"})
+    pd = PhonemeDictionary({"zh": str(pathlib.Path(__file__).resolve().parents[1] / "dictionaries" / "opencpop-extension.txt")})
     assert pd.vocab_size > 50
     ids = pd.encode("AP sh ir zh e SP")
     assert len(ids) == 6 and all(i > 0 for i in ids)

@@ -1,6 +1,7 @@
 """Full training-loop smoke: binarize a tiny corpus, train the acoustic task a
 few steps on the 8-device CPU mesh, checkpoint, resume, validate metrics."""
 
+import pathlib
 import numpy as np
 import pytest
 
@@ -12,7 +13,7 @@ from tests.test_binarize import _make_corpus
 def acoustic_setup(tmp_path_factory):
     tmp = tmp_path_factory.mktemp("train")
     raw, dict_path = _make_corpus(tmp, n_items=4)
-    hp = load_config("/root/reference/configs/acoustic.yaml", save_snapshot=False)
+    hp = load_config(str(pathlib.Path(__file__).resolve().parents[1] / "configs" / "acoustic.yaml"), save_snapshot=False)
     work_dir = tmp / "exp"
     work_dir.mkdir()
     hp.update(

@@ -1,5 +1,6 @@
 """Variance training-loop smoke with validation metrics/plots."""
 
+import pathlib
 import json
 
 import numpy as np
@@ -11,7 +12,7 @@ from tests.test_binarize import _make_corpus
 
 def test_variance_training_loop(tmp_path):
     raw, dict_path = _make_corpus(tmp_path, n_items=4)
-    hp = load_config("/root/reference/configs/variance.yaml", save_snapshot=False)
+    hp = load_config(str(pathlib.Path(__file__).resolve().parents[1] / "configs" / "variance.yaml"), save_snapshot=False)
     work_dir = tmp_path / "exp"
     work_dir.mkdir()
     hp.update(

@@ -1,6 +1,7 @@
 """Training-runtime tests: LR schedules vs torch semantics, optimizer/train-step
 on an 8-device CPU mesh (data-parallel), and loss decrease over a few steps."""
 
+import pathlib
 import numpy as np
 import pytest
 
@@ -101,7 +102,7 @@ def test_variance_train_step_runs():
     )
     from diffsinger_tpu.training.variance_task import make_variance_loss_fn, random_retake_masks
 
-    hp = load_config("/root/reference/configs/variance.yaml", save_snapshot=False)
+    hp = load_config(str(pathlib.Path(__file__).resolve().parents[1] / "configs" / "variance.yaml"), save_snapshot=False)
     hp.update(hidden_size=32, enc_layers=1, predict_energy=True)
     hp["dur_prediction_args"] = dict(hp["dur_prediction_args"], hidden_size=32, num_layers=2)
     hp["pitch_prediction_args"] = dict(
