@@ -375,8 +375,13 @@ class NSFHiFiGANExporter(BaseExporter):
         def voc(params, mel, f0):
             return self.vocoder.model.apply(params, mel, f0)
 
+        # ONNX graphs are emitted from the canonical (unfolded) generator so
+        # ecosystem consumers get the reference-shaped per-sample graph; the
+        # param tree is identical (folding.py), so the same params apply.
+        canonical = self.vocoder.model.clone(fold_lanes=0)
+
         def voc_onnx(mel, f0):
-            return self.vocoder.model.apply(self.vocoder.params, mel, f0)
+            return canonical.apply(self.vocoder.params, mel, f0)
 
         for i, t_mel in enumerate(self.buckets):
             suffix = "" if i == 0 else f".b{t_mel}"

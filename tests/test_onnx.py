@@ -123,7 +123,8 @@ def test_vocoder_onnx_parity():
     from tests.test_vocoder import TINY
 
     cfg = types.SimpleNamespace(**TINY, hop_size=int(np.prod(TINY["upsample_rates"])))
-    gen = Generator(cfg)
+    # the exporter emits the canonical (unfolded) graph for ecosystem parity
+    gen = Generator(cfg, fold_lanes=0)
     mel = np.random.randn(1, 16, 8).astype(np.float32)
     f0 = np.full((1, 16), 220.0, np.float32)
     params = gen.init(jax.random.PRNGKey(0), jnp.asarray(mel), jnp.asarray(f0))
@@ -132,6 +133,11 @@ def test_vocoder_onnx_parity():
                   label="vocoder")
     g = parse_model(data)
     assert any(n.op_type == "ConvTranspose" for n in g.nodes)
+    # the folded (TPU-serving) variant also lowers and matches numerically
+    folded = Generator(cfg, fold_lanes=128)
+    _check(lambda mel, f0: folded.apply(params, mel, f0),
+           (jnp.asarray(mel), jnp.asarray(f0)), ["mel", "f0"], tol=1e-5,
+           label="vocoder_folded")
 
 
 def test_acoustic_exporter_onnx(tmp_path):
