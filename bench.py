@@ -75,13 +75,44 @@ def main():
     v = float(jitted(*args))  # compile
     assert np.isfinite(v)
 
-    # FLOP model from XLA's own cost analysis of the compiled program
-    flops = None
-    try:
-        cost = jitted.lower(*args).compile().cost_analysis()
+    # FLOP model from XLA's own cost analysis of the compiled program.
+    # XLA counts a lax.scan body ONCE regardless of trip count, so the
+    # 50-step sampler loop would be undercounted 50x; add the remaining
+    # (steps-1) denoiser evaluations from a standalone lowering.
+    def _flops_of(fn, fargs):
+        cost = jax.jit(fn).lower(*fargs).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        flops = float(cost.get("flops", 0.0)) or None
+        return float(cost.get("flops", 0.0))
+
+    flops = None
+    try:
+        flops = _flops_of(e2e, args)
+        n_layers = hp["backbone_args"]["num_layers"]
+        n_ch = hp["backbone_args"]["num_channels"]
+        x0 = jnp.zeros((B, T_MEL, n_mels), jnp.float32)
+        t0_ = jnp.zeros((B,), jnp.float32)
+        cond0 = jnp.zeros((B, T_MEL, hp["hidden_size"]), jnp.float32)
+        proj0 = jnp.zeros((n_layers, B, T_MEL, n_ch),
+                          dtype or jnp.float32)
+        step_flops = _flops_of(
+            lambda p, x, t, c, cp: model.module.apply(
+                p, x, t, c, cond_proj=cp, method="denoise"),
+            (params, x0, t0_, cond0, proj0),
+        )
+        flops += (hp["sampling_steps"] - 1) * step_flops
+        # The folded vocoder tail trades ~5x arithmetic for 8x less HBM
+        # traffic (vocoders/folding.py); count the *algorithmic* (canonical)
+        # vocoder flops so MFU reflects useful work, not layout overhead.
+        mel0 = jnp.zeros((B, T_MEL, n_mels), jnp.float32)
+        f0_0 = jnp.zeros((B, T_MEL), jnp.float32)
+        voc_folded = _flops_of(
+            lambda p, m, f: vocoder.apply(p, m, f), (voc_params, mel0, f0_0))
+        canonical = vocoder.clone(fold_lanes=0)
+        voc_canon = _flops_of(
+            lambda p, m, f: canonical.apply(p, m, f), (voc_params, mel0, f0_0))
+        flops += voc_canon - voc_folded
+        flops = flops or None
     except Exception:
         pass
 

@@ -79,7 +79,8 @@ class AcousticModule(nn.Module):
         backbone_type = compat.get_backbone_type(hp)
         backbone_args = compat.get_backbone_args(hp, backbone_type)
         self.denoiser = build_backbone(
-            self.out_dims, 1, backbone_type, backbone_args, cond_dims=hp["hidden_size"]
+            self.out_dims, 1, backbone_type, backbone_args,
+            cond_dims=hp["hidden_size"], dtype=self.dtype,
         )
 
     def encode(self, txt_tokens, mel2ph, f0, **kwargs) -> jnp.ndarray:
@@ -297,7 +298,8 @@ class VarianceModule(nn.Module):
             backbone_type = compat.get_backbone_type(hp, nested_config=pitch_hp)
             backbone_args = compat.get_backbone_args(pitch_hp, backbone_type)
             self.pitch_denoiser = build_backbone(
-                pitch_hp["repeat_bins"], 1, backbone_type, backbone_args, cond_dims=h
+                pitch_hp["repeat_bins"], 1, backbone_type, backbone_args,
+                cond_dims=h, dtype=self.dtype,
             )
         if self.var_list:
             self.pitch_embed = Linear(h)
@@ -307,7 +309,8 @@ class VarianceModule(nn.Module):
             backbone_args = compat.get_backbone_args(var_hp, backbone_type)
             repeat_bins = var_hp["total_repeat_bins"] // len(self.var_list)
             self.variance_denoiser = build_backbone(
-                repeat_bins, len(self.var_list), backbone_type, backbone_args, cond_dims=h
+                repeat_bins, len(self.var_list), backbone_type, backbone_args,
+                cond_dims=h, dtype=self.dtype,
             )
 
     # --- parameterized pieces, exposed as apply methods ---
