@@ -39,15 +39,20 @@ _NEG = -1e9  # sentinel for "no candidate" (avoids inf-inf NaNs in the DP)
 
 @functools.partial(
     jax.jit,
-    static_argnames=("win_size", "hop", "lag_min", "lag_max", "n_cands"),
+    static_argnames=("win_size", "hop", "lag_min", "lag_max", "n_cands", "very_accurate"),
 )
 def _acf_viterbi(
     y: jnp.ndarray, sr, *, win_size: int, hop: int, lag_min: int, lag_max: int,
-    n_cands: int = 14,
+    n_cands: int = 14, very_accurate: bool = False,
     voicing_threshold=0.45, silence_threshold=0.03, octave_cost=0.01,
     octave_jump_cost=0.35, voiced_unvoiced_cost=0.14,
 ):
     """Candidate extraction + Viterbi forward pass (Boersma's 'ac' method).
+
+    ``very_accurate`` selects Praat's accurate variant: a Gaussian window
+    (exp(-12(t/T-1/2)^2) rescaled to hit 0 at the edges; the caller doubles
+    the physical window length) and windowed-sinc interpolation of the ACF
+    around each candidate peak instead of the parabolic fit.
 
     Returns (f0_cand [F, S], last_delta [S], backptr [F, S]) where
     S = n_cands + 1 and state S-1 is the unvoiced candidate (f0 = 0).
@@ -56,9 +61,14 @@ def _acf_viterbi(
     local_peak = jnp.max(jnp.abs(frames), axis=1)     # pre-DC-removal, like Praat
     global_peak = jnp.maximum(jnp.max(jnp.abs(y)), 1e-9)
     frames = frames - frames.mean(axis=1, keepdims=True)
-    window = jnp.asarray(
-        0.5 - 0.5 * np.cos(2 * np.pi * np.arange(win_size) / (win_size - 1)), jnp.float32
-    )
+    t = np.arange(win_size) / max(win_size - 1, 1)
+    if very_accurate:
+        edge = np.exp(-12.0)
+        window = jnp.asarray(
+            (np.exp(-12.0 * (t - 0.5) ** 2) - edge) / (1.0 - edge), jnp.float32
+        )
+    else:
+        window = jnp.asarray(0.5 - 0.5 * np.cos(2 * np.pi * t), jnp.float32)
     fw = frames * window
 
     n_fft = int(2 ** np.ceil(np.log2(2 * win_size)))
@@ -91,6 +101,34 @@ def _acf_viterbi(
     lag_est = idx.astype(jnp.float32) + delta
     r_int = rb + 0.5 * (rp1 - rm1) * delta + 0.5 * denom * delta * delta
     r_int = jnp.clip(r_int, -1.0, 1.5)
+
+    if very_accurate:
+        # windowed-sinc interpolation of the ACF around each candidate
+        # (Praat's sinc70 depth), maximized on a fine lag grid + parabolic
+        # vertex — replaces the 3-point parabolic estimate above
+        depth = 35
+        taps = jnp.arange(-depth, depth + 1)                       # [T]
+        gi = jnp.clip(idx[:, :, None] + taps[None, None, :], 0, lag_max + 1)
+        r_win = jnp.take_along_axis(
+            r, gi.reshape(gi.shape[0], -1), axis=1
+        ).reshape(gi.shape)                                        # [F, K, T]
+        grid = jnp.linspace(-0.7, 0.7, 29)                         # [G]
+        xg = grid[:, None] - taps[None, :].astype(jnp.float32)     # [G, T]
+        ws = jnp.sinc(xg) * (0.5 + 0.5 * jnp.cos(np.pi * xg / (depth + 1)))
+        r_g = jnp.einsum("fkt,gt->fkg", r_win, ws)                 # [F, K, G]
+        best = jnp.argmax(r_g, axis=-1)
+        bc = jnp.clip(best, 1, grid.shape[0] - 2)
+        rbm = jnp.take_along_axis(r_g, (bc - 1)[..., None], -1)[..., 0]
+        rbb = jnp.take_along_axis(r_g, bc[..., None], -1)[..., 0]
+        rbp = jnp.take_along_axis(r_g, (bc + 1)[..., None], -1)[..., 0]
+        den2 = rbm - 2 * rbb + rbp
+        sub = jnp.where(jnp.abs(den2) > 1e-12, 0.5 * (rbm - rbp) / den2, 0.0)
+        sub = jnp.clip(sub, -1.0, 1.0)
+        dg = grid[1] - grid[0]
+        lag_est = idx.astype(jnp.float32) + grid[bc] + sub * dg
+        r_int = jnp.clip(
+            rbb + 0.5 * (rbp - rbm) * sub + 0.5 * den2 * sub * sub, -1.0, 1.5
+        )
 
     f0_v = sr / jnp.maximum(lag_est, 1e-6)  # [F, K]
     # local strength R = r - OctaveCost * log2(MinimumPitch * tau)  (Boersma eq. 26)
@@ -141,16 +179,23 @@ def _acf_viterbi(
 
 
 class AcfPE(BasePE):
-    """Native autocorrelation pitch extractor (Praat-ac family)."""
+    """Native autocorrelation pitch extractor (Praat-ac family).
 
-    def __init__(self, voicing_threshold: float = 0.45):
+    ``very_accurate`` enables Praat's accurate variant: Gaussian window with
+    doubled physical length + sinc interpolation of the ACF peaks.
+    """
+
+    def __init__(self, voicing_threshold: float = 0.45, very_accurate: bool = False):
         self.voicing_threshold = voicing_threshold
+        self.very_accurate = very_accurate
 
     def get_pitch(self, waveform, samplerate, length, *, hop_size, f0_min=65, f0_max=1100,
                   speed=1, interp_uv=False):
         hop = int(np.round(hop_size * speed))
-        # window: >= 2 periods of f0_min, rounded to a power of two
-        win = int(2 ** np.ceil(np.log2(2 * samplerate / f0_min)))
+        # window: >= 2 periods of f0_min (x2 for the Gaussian accurate mode),
+        # rounded to a power of two
+        periods = 4 if self.very_accurate else 2
+        win = int(2 ** np.ceil(np.log2(periods * samplerate / f0_min)))
         pad = win // 2
         y = np.pad(np.asarray(waveform, np.float32), (pad, pad + hop))
         lag_min = max(2, int(samplerate / f0_max))
@@ -159,6 +204,7 @@ class AcfPE(BasePE):
         f0_cand, last_delta, bp = _acf_viterbi(
             jnp.asarray(y), float(samplerate), win_size=win, hop=hop,
             lag_min=lag_min, lag_max=lag_max,
+            very_accurate=self.very_accurate,
             voicing_threshold=self.voicing_threshold,
         )
         f0_cand = np.asarray(f0_cand)
@@ -210,7 +256,7 @@ def initialize_pe(hparams: dict) -> BasePE:
     """PE registry (reference modules/pe/__init__.py:8-18)."""
     name = hparams.get("pe", "parselmouth")
     if name == "parselmouth":
-        return AcfPE()
+        return AcfPE(very_accurate=bool(hparams.get("pe_very_accurate", False)))
     if name == "harvest":
         return HarvestPE()
     if name == "rmvpe":

@@ -38,10 +38,17 @@ class DiffSingerAcousticInfer(BaseSVSInfer):
         if load_model:
             self.phoneme_dictionary = load_phoneme_dictionary(hparams)
             self.load_maps()
+            # fp32 by default (matches the reference's CUDA inference);
+            # `infer_precision: bf16` opts serving into bf16 compute
+            # (~12% faster sampling on TPU, params stay fp32)
+            dtype = {"bf16": jnp.bfloat16, "16-mixed": jnp.bfloat16,
+                     "f32": None, "32-true": None, None: None}[
+                hparams.get("infer_precision")]
             self.model = DiffSingerAcoustic(
                 hparams,
                 vocab_size=len(self.phoneme_dictionary),
                 out_dims=hparams["audio_num_mel_bins"],
+                dtype=dtype,
             )
             try:
                 template = self.model.init(jax.random.PRNGKey(0))

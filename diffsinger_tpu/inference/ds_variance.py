@@ -74,7 +74,11 @@ class DiffSingerVarianceInfer(BaseSVSInfer):
         super().__init__(hparams)
         self.phoneme_dictionary = load_phoneme_dictionary(hparams)
         self.load_maps()
-        self.model = DiffSingerVariance(hparams, vocab_size=len(self.phoneme_dictionary))
+        dtype = {"bf16": jnp.bfloat16, "16-mixed": jnp.bfloat16,
+                 "f32": None, "32-true": None, None: None}[
+            hparams.get("infer_precision")]
+        self.model = DiffSingerVariance(
+            hparams, vocab_size=len(self.phoneme_dictionary), dtype=dtype)
         try:
             template = self.model.init(jax.random.PRNGKey(0))
             self.params, _ = load_params_for_inference(

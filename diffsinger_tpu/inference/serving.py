@@ -3,6 +3,13 @@
 Groups pending segments by (token-bucket, frame-bucket) so each compiled
 program serves many requests at once — on one v5e chip, batched execution
 roughly doubles mel frames/sec over one-segment-at-a-time inference.
+
+Multi-chip serving: pass ``mesh=create_mesh(...)`` (parallel/mesh.py) and the
+server shards each group batch over the mesh's 'data' axis with replicated
+params — the forward is purely batch-wise, so XLA partitions it without any
+collectives (the TPU-native equivalent of running one DDP-style replica per
+device; the reference has no serving-side scale-out at all). Group batches
+are padded to a multiple of the data-axis size.
 """
 
 from __future__ import annotations
@@ -26,11 +33,27 @@ class AcousticServer(DiffSingerAcousticInfer):
     bucket shape, pads each group into one [B, T] batch, runs the jitted
     forward + vocoder per group, and returns per-segment waveforms in input
     order.
+
+    With ``mesh`` set, each group batch additionally shards over the mesh's
+    'data' axis (params replicated), scaling serving throughput across chips.
     """
 
-    def __init__(self, hparams: dict, max_batch_size: int = 8, **kwargs):
+    def __init__(self, hparams: dict, max_batch_size: int = 8, mesh=None, **kwargs):
         super().__init__(hparams, **kwargs)
         self.max_batch_size = max_batch_size
+        self.mesh = mesh
+        if mesh is not None:
+            from diffsinger_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+            self._batch_sharding = batch_sharding(mesh)
+            repl = replicated_sharding(mesh)
+            self.params = jax.device_put(self.params, repl)
+            if getattr(self, "vocoder", None) is not None and hasattr(self.vocoder, "params"):
+                self.vocoder.params = jax.device_put(self.vocoder.params, repl)
+            self._data_size = mesh.shape["data"]
+        else:
+            self._batch_sharding = None
+            self._data_size = 1
 
     def _group_key(self, batch: Dict[str, np.ndarray]):
         t_txt = bucket_length(batch["tokens"].shape[1], step=16, minimum=16)
@@ -61,10 +84,12 @@ class AcousticServer(DiffSingerAcousticInfer):
 
     def _stack(self, batches, idxs, t_txt, t_mel):
         def cat(key, length, pad_value=0):
-            return np.concatenate(
-                [pad_to(batches[i][key], length, pad_value=pad_value, axis=1) for i in idxs],
-                axis=0,
-            )
+            rows = [pad_to(batches[i][key], length, pad_value=pad_value, axis=1) for i in idxs]
+            # pad the batch axis to a multiple of the mesh's data-axis size
+            # (zero rows: tokens/mel2ph 0 is PAD everywhere; dropped on slice)
+            short = -len(rows) % self._data_size
+            rows += [np.zeros_like(rows[0])] * short
+            return np.concatenate(rows, axis=0)
 
         out = {
             "tokens": cat("tokens", t_txt),
@@ -78,16 +103,23 @@ class AcousticServer(DiffSingerAcousticInfer):
             out["languages"] = cat("languages", t_txt)
         return out
 
+    def _device_put_batch(self, x):
+        x = jnp.asarray(x)
+        if self._batch_sharding is not None:
+            x = jax.device_put(x, self._batch_sharding)
+        return x
+
     def _run_group(self, stacked, rng, steps):
         kwargs = {}
         for key in ("key_shift", "speed"):
             if key in stacked:
-                kwargs[key] = jnp.asarray(stacked[key])
-        variances = {v: jnp.asarray(stacked[v]) for v in self.variances_to_embed if v in stacked}
+                kwargs[key] = self._device_put_batch(stacked[key])
+        variances = {v: self._device_put_batch(stacked[v])
+                     for v in self.variances_to_embed if v in stacked}
         if variances:
             kwargs["variances"] = variances
         if "languages" in stacked:
-            kwargs["languages"] = jnp.asarray(stacked["languages"])
+            kwargs["languages"] = self._device_put_batch(stacked["languages"])
         key = ("serve", stacked["tokens"].shape, stacked["mel2ph"].shape,
                tuple(sorted(kwargs)), steps)
         if key not in self._jit_cache:
@@ -97,7 +129,8 @@ class AcousticServer(DiffSingerAcousticInfer):
                 ).diff_out
             )
         mel = self._jit_cache[key](
-            self.params, rng, jnp.asarray(stacked["tokens"]),
-            jnp.asarray(stacked["mel2ph"]), jnp.asarray(stacked["f0"]), kwargs,
+            self.params, rng, self._device_put_batch(stacked["tokens"]),
+            self._device_put_batch(stacked["mel2ph"]),
+            self._device_put_batch(stacked["f0"]), kwargs,
         )
         return mel, stacked["f0"]

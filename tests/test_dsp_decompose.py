@@ -106,6 +106,24 @@ def test_acf_pitch_extractor_accuracy(f0_true):
     assert np.median(err_cents) < 15, np.median(err_cents)
 
 
+@pytest.mark.parametrize("f0_true", [110.0, 220.0, 440.0])
+def test_acf_pitch_very_accurate_mode(f0_true):
+    """Praat 'very accurate' variant (Gaussian window + sinc interpolation,
+    reference contract: parselmouth to_pitch_ac(very_accurate=...)): must be
+    at least as accurate as the default parabolic mode on a clean harmonic."""
+    y = _harmonic_signal(f0_true, seconds=0.7, noise=0.02)
+    length = len(y) // 512 + 1
+    f0_d, uv_d = AcfPE().get_pitch(y, SR, length, hop_size=512, f0_min=65, f0_max=1100)
+    f0_a, uv_a = AcfPE(very_accurate=True).get_pitch(
+        y, SR, length, hop_size=512, f0_min=65, f0_max=1100)
+    voiced_a = f0_a[~uv_a]
+    assert len(voiced_a) > 0.8 * length
+    err_a = np.median(1200 * np.abs(np.log2(voiced_a / f0_true)))
+    err_d = np.median(1200 * np.abs(np.log2(f0_d[~uv_d] / f0_true)))
+    assert err_a < 5, err_a
+    assert err_a <= err_d + 0.5, (err_a, err_d)
+
+
 def test_acf_pitch_viterbi_glide_has_no_octave_jumps():
     # a 150->300 Hz glide with rich harmonics: the per-frame argmax is prone to
     # octave/harmonic locking; the Viterbi octave-jump cost must keep the path

@@ -62,3 +62,18 @@ def test_acoustic_server_batches_segments(tmp_path):
                                   / (hop / sr) + 0.5)) * hop
         assert abs(len(wav) - expected) <= hop
         assert np.isfinite(wav).all()
+
+    # ---- multi-chip serving: 4-device data-parallel mesh, same outputs ----
+    from diffsinger_tpu.inference.serving import AcousticServer
+    from diffsinger_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(jax.devices()[:4], data=4, model=1)
+    with pytest.warns(UserWarning):  # random vocoder
+        sharded_server = AcousticServer(hp, max_batch_size=4, mesh=mesh)
+    wavs_sharded = sharded_server.synthesize_batch(segments, seed=1, steps=2)
+    assert len(wavs_sharded) == len(wavs)
+    for w0, w1 in zip(wavs, wavs_sharded):
+        # identical params + identical seeds: the data-parallel partition of
+        # the same program must reproduce the single-chip outputs
+        assert w0.shape == w1.shape
+        np.testing.assert_allclose(w0, w1, atol=5e-5)

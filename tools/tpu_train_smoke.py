@@ -112,6 +112,12 @@ def main():
     args = ap.parse_args()
 
     work = pathlib.Path(args.work)
+    # stale checkpoints from a previous smoke would be auto-resumed and
+    # short-circuit the run (max_steps already reached) — start clean
+    if (work / "ckpt").exists():
+        import shutil
+
+        shutil.rmtree(work / "ckpt")
     work.mkdir(parents=True, exist_ok=True)
     raw = work / "raw"
     dict_path = work / "dict.txt"
