@@ -218,9 +218,12 @@ def sine_source_full(f0: jnp.ndarray, upp: int, sampling_rate: int, harmonic_num
     return sines * uv + noise
 
 
-def fast_sine_gen(f0: jnp.ndarray, upp: int, source_sr: float) -> jnp.ndarray:
+def fast_sine_gen(f0: jnp.ndarray, upp: int, source_sr: float,
+                  dense: bool = False) -> jnp.ndarray:
     """mini_nsf single-sine source with quadratic phase interpolation
-    (models.py:254-264). f0: [B, F] at frame rate; returns [B, F*upp, 1]."""
+    (models.py:254-264). f0: [B, F] at frame rate; returns [B, F*upp, 1],
+    or the lane-dense [B, F, upp] when ``dense`` (same values, no reshape
+    onto the 128-lane-padded per-sample layout)."""
     s0 = f0[:, :, None].astype(jnp.float32) / source_sr  # [B, F, 1]
     ds0 = jnp.pad(s0[:, 1:, :] - s0[:, :-1, :], ((0, 0), (0, 1), (0, 0)))
     n = jnp.arange(1, upp + 1, dtype=jnp.float32)
@@ -228,8 +231,33 @@ def fast_sine_gen(f0: jnp.ndarray, upp: int, source_sr: float) -> jnp.ndarray:
     rad2 = jnp.mod(rad[..., -1:] + 0.5, 1.0) - 0.5
     rad_acc = jnp.mod(jnp.cumsum(rad2, axis=1), 1.0)
     rad = rad + jnp.pad(rad_acc[:, :-1, :], ((0, 0), (1, 0), (0, 0)))
-    rad = rad.reshape(f0.shape[0], -1, 1)
-    return jnp.sin(2 * np.pi * rad)
+    sines = jnp.sin(2 * np.pi * rad)  # [B, F, upp]
+    if dense:
+        return sines
+    return sines.reshape(f0.shape[0], -1, 1)
+
+
+class DenseSourceInject(nn.Module):
+    """mini_nsf source injection from the lane-dense [B, F, upp] sine source.
+
+    Param-compatible with ``nn.Conv(features, kernel_size=(1,))`` (the
+    canonical per-sample 1x1 conv): an outer product over the dense layout
+    followed by a reshape — identical values, none of the 128-lane padding
+    a [B, L, 1] per-sample tensor would carry.
+    """
+
+    features: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, sines: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (1, 1, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        w = kernel[0, 0].astype(self.dtype or sines.dtype)
+        y = sines.astype(w.dtype)[..., None] * w + bias.astype(w.dtype)
+        return y.reshape(sines.shape[0], -1, self.features)
 
 
 class Generator(nn.Module):
@@ -254,7 +282,7 @@ class Generator(nn.Module):
         if h.mini_nsf:
             source_sr = h.sampling_rate / int(np.prod(h.upsample_rates[2:]))
             upp = int(np.prod(h.upsample_rates[:2]))
-            har_source = fast_sine_gen(f0, upp, source_sr)  # [B, T*upp, 1]
+            har_dense = fast_sine_gen(f0, upp, source_sr, dense=True)  # [B, T, upp]
         else:
             upp = int(np.prod(h.upsample_rates))
             if rng is None:
@@ -311,8 +339,8 @@ class Generator(nn.Module):
                     x_source = x_source.reshape(x_source.shape[0], -1, r * ch)
                 x = x + x_source
             elif i == 1:
-                x_source = nn.Conv(ch, kernel_size=(1,), dtype=self.dtype, name="source_conv")(
-                    har_source
+                x_source = DenseSourceInject(ch, dtype=self.dtype, name="source_conv")(
+                    har_dense
                 )
                 x_source = x_source[:, :n_frames]
                 if r > 1:
