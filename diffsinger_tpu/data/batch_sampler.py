@@ -67,6 +67,24 @@ class DsBatchSampler:
     def _form_batches(self):
         if self._formed == self.epoch + self.seed:
             return
+        batches, assignment_matrix, leftovers = self._form_shared()
+        self.batches = self._rank_batches(batches, assignment_matrix, leftovers, self.rank)
+        self._formed = self.epoch + self.seed
+
+    def all_rank_batches(self) -> List[List[List[int]]]:
+        """Per-rank batch lists for every replica, from ONE forming pass.
+
+        The shuffle/sort/batching work is rank-independent; only the final
+        assignment slice differs per rank. Multi-host peers use this instead
+        of instantiating num_replicas samplers (which would redo the O(dataset)
+        forming once per rank per epoch)."""
+        batches, assignment_matrix, leftovers = self._form_shared()
+        return [
+            self._rank_batches(batches, assignment_matrix, leftovers, r)
+            for r in range(self.num_replicas)
+        ]
+
+    def _form_shared(self):
         # deterministic per (seed, epoch): unlike the reference (which uses an
         # unseeded rng), resume reproducibility is explicit here
         rng = np.random.default_rng(self.seed + self.epoch)
@@ -111,15 +129,17 @@ class DsBatchSampler:
         else:
             leftovers = list(range(floored_total, len(batches)))
 
-        assignment = np.arange(floored_total).reshape(-1, self.num_replicas).transpose()
+        assignment_matrix = np.arange(floored_total).reshape(-1, self.num_replicas).transpose()
         if self.shuffle_batch:
-            assignment = rng.permuted(assignment, axis=0)[self.rank].tolist()
-        else:
-            assignment = assignment[self.rank].tolist()
+            assignment_matrix = rng.permuted(assignment_matrix, axis=0)
+        return batches, assignment_matrix, leftovers
+
+    def _rank_batches(self, batches, assignment_matrix, leftovers, rank):
+        assignment = assignment_matrix[rank].tolist()
 
         floored_count = len(assignment)
-        if self.rank < len(leftovers):
-            assignment.append(leftovers[self.rank])
+        if rank < len(leftovers):
+            assignment.append(leftovers[rank])
             floored_count += 1
         elif leftovers and self.pad_batch_assignment:
             if not assignment:
@@ -137,8 +157,7 @@ class DsBatchSampler:
                     assignment[(i + self.epoch * self.required_batch_count_multiple) % floored_count]
                 )
 
-        self.batches = [list(batches[i]) for i in assignment] if assignment else [[]]
-        self._formed = self.epoch + self.seed
+        return [list(batches[i]) for i in assignment] if assignment else [[]]
 
     def __iter__(self):
         self._form_batches()

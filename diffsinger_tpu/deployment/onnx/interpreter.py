@@ -122,9 +122,11 @@ class Interpreter:
         if op == "Identity":
             return [x[0]]
         if op in ("Add", "Sub", "Mul", "Div", "Pow"):
+            # ONNX integer Div truncates toward zero (C semantics), not floor
             f = {"Add": np.add, "Sub": np.subtract, "Mul": np.multiply,
                  "Div": lambda p, q: (p / q if np.issubdtype(np.result_type(p, q), np.floating)
-                                      else p // q),
+                                      else (np.abs(p) // np.abs(q) * np.sign(p) * np.sign(q))
+                                      .astype(np.result_type(p, q))),
                  "Pow": np.power}[op]
             return [f(x[0], x[1])]
         if op == "Max":
@@ -149,6 +151,8 @@ class Interpreter:
             return [np.round(x[0])]  # nearest-even, matches ONNX
         if op in ("Exp", "Log", "Tanh", "Sin", "Cos", "Sqrt"):
             return [getattr(np, op.lower())(x[0])]
+        if op == "Atan":
+            return [np.arctan(x[0])]
         if op == "Reciprocal":
             return [1.0 / x[0]]
         if op == "Sigmoid":
@@ -239,7 +243,14 @@ class Interpreter:
         if op in ("ReduceSum", "ReduceMax", "ReduceMin", "ReduceProd"):
             f = {"ReduceSum": np.sum, "ReduceMax": np.max,
                  "ReduceMin": np.min, "ReduceProd": np.prod}[op]
-            axes = tuple(int(v) for v in x[1]) if len(x) > 1 and x[1] is not None else None
+            # opset 17: ReduceSum takes axes as input #2; Max/Min/Prod carry
+            # the `axes` attribute (input form only arrives in opset 18)
+            if len(x) > 1 and x[1] is not None:
+                axes = tuple(int(v) for v in x[1])
+            elif a.get("axes") is not None:
+                axes = tuple(int(v) for v in a["axes"])
+            else:
+                axes = None
             keep = bool(a.get("keepdims", 1))
             return [f(x[0], axis=axes, keepdims=keep)]
         if op in ("ArgMax", "ArgMin"):

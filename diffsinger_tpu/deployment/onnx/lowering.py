@@ -93,19 +93,38 @@ def _i64(gb, values, hint="ints") -> str:
 
 _SIMPLE = {
     "add": "Add", "sub": "Sub", "mul": "Mul", "div": "Div",
-    "max": "Max", "min": "Min", "pow": "Pow", "atan2": "Atan",
+    "max": "Max", "min": "Min", "pow": "Pow",
     "neg": "Neg", "sign": "Sign", "abs": "Abs", "floor": "Floor",
     "ceil": "Ceil", "round": "Round", "exp": "Exp", "log": "Log",
     "tanh": "Tanh", "sin": "Sin", "cos": "Cos", "sqrt": "Sqrt",
-    "logistic": "Sigmoid", "erf": "Erf", "is_finite": "IsInf",
+    "logistic": "Sigmoid", "erf": "Erf",
     "not": "Not", "and": "And", "or": "Or", "xor": "Xor",
 }
 
 
-@register(*(k for k in _SIMPLE if k not in ("is_finite",)))
+@register(*_SIMPLE)
 def _simple(ctx, eqn, ins):
     op = _SIMPLE[eqn.primitive.name]
     return ctx.gb.add_node(op, ins)
+
+
+@register("atan2")
+def _atan2(ctx, eqn, ins):
+    """atan2(y, x) = atan(y/x), shifted by ±pi in the x<0 half-plane.
+
+    x==0 resolves through IEEE semantics: y/0 = ±inf, Atan(±inf) = ±pi/2.
+    """
+    y, x = ins
+    dt = np.dtype(eqn.invars[0].aval.dtype)
+    t = ctx.gb.add_node("Atan", ctx.gb.add_node("Div", [y, x]))[0]
+    zero = ctx.gb.constant(np.asarray(0, dt))
+    pi = ctx.gb.constant(np.asarray(np.pi, dt))
+    neg_pi = ctx.gb.constant(np.asarray(-np.pi, dt))
+    x_neg = ctx.gb.add_node("Less", [x, zero])[0]
+    y_nonneg = ctx.gb.add_node("GreaterOrEqual", [y, zero])[0]
+    shift = ctx.gb.add_node("Where", [y_nonneg, pi, neg_pi])[0]
+    shifted = ctx.gb.add_node("Add", [t, shift])[0]
+    return ctx.gb.add_node("Where", [x_neg, shifted, t])
 
 
 @register("erfc")
@@ -150,8 +169,8 @@ def _integer_pow(ctx, eqn, ins):
 
 @register("rem")
 def _rem(ctx, eqn, ins):
-    fmod = 1 if np.issubdtype(eqn.invars[0].aval.dtype, np.floating) else 1
-    return ctx.gb.add_node("Mod", ins, fmod=fmod)
+    # lax.rem is the truncated remainder for ints and floats alike -> fmod=1
+    return ctx.gb.add_node("Mod", ins, fmod=1)
 
 
 @register("clamp")
@@ -319,11 +338,19 @@ _REDUCE = {"reduce_sum": "ReduceSum", "reduce_max": "ReduceMax",
            "reduce_min": "ReduceMin", "reduce_prod": "ReduceProd"}
 
 
+def _reduce_node(gb, op: str, x, axes):
+    """Emit a reduction valid at opset 17: only ReduceSum takes `axes` as an
+    input (since opset 13); ReduceMax/Min/Prod take the `axes` ATTRIBUTE
+    until opset 18."""
+    if op == "ReduceSum":
+        return gb.add_node(op, [x, _i64(gb, list(axes))], keepdims=0)
+    return gb.add_node(op, [x], axes=[int(a) for a in axes], keepdims=0)
+
+
 @register(*_REDUCE)
 def _reduce(ctx, eqn, ins):
     axes = list(eqn.params["axes"])
-    return ctx.gb.add_node(_REDUCE[eqn.primitive.name],
-                           [ins[0], _i64(ctx.gb, axes)], keepdims=0)
+    return _reduce_node(ctx.gb, _REDUCE[eqn.primitive.name], ins[0], axes)
 
 
 @register("reduce_and", "reduce_or")
@@ -331,7 +358,7 @@ def _reduce_bool(ctx, eqn, ins):
     axes = list(eqn.params["axes"])
     x = ctx.gb.add_node("Cast", ins, to=NP_TO_DT[np.dtype(np.int64)])[0]
     op = "ReduceMin" if eqn.primitive.name == "reduce_and" else "ReduceMax"
-    r = ctx.gb.add_node(op, [x, _i64(ctx.gb, axes)], keepdims=0)
+    r = _reduce_node(ctx.gb, op, x, axes)
     return ctx.gb.add_node("Cast", r, to=NP_TO_DT[np.dtype(np.bool_)])
 
 

@@ -27,6 +27,19 @@ def _pad_axis1(arr: np.ndarray, length: int, value=0):
     return np.pad(arr, widths, constant_values=value)
 
 
+def _check_stablehlo_flavor(manifest: dict):
+    """These runtimes deserialize jax.export artifacts only; a bundle
+    exported with --format onnx records flavor 'onnx' and must be served by
+    an ONNX runtime instead — fail with a clear message, not a KeyError."""
+    flavor = manifest.get("flavor", "stablehlo")
+    if flavor not in ("stablehlo", "both"):
+        raise ValueError(
+            f"bundle flavor is {flavor!r}; the artifact runtimes load "
+            "StableHLO bundles only — re-export with --format stablehlo "
+            "(or 'both'), or serve the .onnx graphs with an ONNX runtime."
+        )
+
+
 class AcousticArtifactRuntime:
     """Serve an exported acoustic bundle: (tokens, mel2ph, f0) -> mel.
 
@@ -42,6 +55,7 @@ class AcousticArtifactRuntime:
         self.dir = pathlib.Path(bundle_dir)
         with open(self.dir / "dsconfig.yaml") as f:
             self.manifest = yaml.safe_load(f)
+        _check_stablehlo_flavor(self.manifest)
         self.params = params
         self._loaded: Dict[str, object] = {}
         buckets = self.manifest.get("buckets") or {}
@@ -98,6 +112,7 @@ class VocoderArtifactRuntime:
         self.dir = pathlib.Path(bundle_dir)
         with open(self.dir / "vocoder.yaml") as f:
             self.manifest = yaml.safe_load(f)
+        _check_stablehlo_flavor(self.manifest)
         self.params = params
         self.hop_size = int(self.manifest["hop_size"])
         self._loaded: Dict[str, object] = {}

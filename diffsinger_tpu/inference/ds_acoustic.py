@@ -40,10 +40,12 @@ class DiffSingerAcousticInfer(BaseSVSInfer):
             self.load_maps()
             # fp32 by default (matches the reference's CUDA inference);
             # `infer_precision: bf16` opts serving into bf16 compute
-            # (~12% faster sampling on TPU, params stay fp32)
-            dtype = {"bf16": jnp.bfloat16, "16-mixed": jnp.bfloat16,
-                     "f32": None, "32-true": None, None: None}[
-                hparams.get("infer_precision")]
+            # (~12% faster sampling on TPU, params stay fp32). Shares the
+            # training side's resolver so every precision spelling it
+            # accepts works here too.
+            from diffsinger_tpu.training.base_task import resolve_precision
+
+            dtype = resolve_precision(hparams.get("infer_precision"))
             self.model = DiffSingerAcoustic(
                 hparams,
                 vocab_size=len(self.phoneme_dictionary),

@@ -74,11 +74,11 @@ class DiffSingerVarianceInfer(BaseSVSInfer):
         super().__init__(hparams)
         self.phoneme_dictionary = load_phoneme_dictionary(hparams)
         self.load_maps()
-        dtype = {"bf16": jnp.bfloat16, "16-mixed": jnp.bfloat16,
-                 "f32": None, "32-true": None, None: None}[
-            hparams.get("infer_precision")]
+        from diffsinger_tpu.training.base_task import resolve_precision
+
         self.model = DiffSingerVariance(
-            hparams, vocab_size=len(self.phoneme_dictionary), dtype=dtype)
+            hparams, vocab_size=len(self.phoneme_dictionary),
+            dtype=resolve_precision(hparams.get("infer_precision")))
         try:
             template = self.model.init(jax.random.PRNGKey(0))
             self.params, _ = load_params_for_inference(

@@ -438,7 +438,7 @@ class DiffSingerVariance:
 
     def __init__(self, hp: dict, vocab_size: int, dtype=None):
         self.hp = dict(hp)
-        self.module = VarianceModule(hp=FrozenDict(hp), vocab_size=vocab_size, dtype=self.dtype_of(dtype))
+        self.module = VarianceModule(hp=FrozenDict(hp), vocab_size=vocab_size, dtype=dtype)
         self.predict_dur = hp["predict_dur"]
         self.predict_pitch = hp["predict_pitch"]
         self.var_list = variance_prediction_list(hp)
@@ -474,10 +474,6 @@ class DiffSingerVariance:
             self.variance_transform = MultiVarianceTransform(
                 ranges=ranges, clamps=clamps, repeat_bins=total_rb // len(self.var_list)
             )
-
-    @staticmethod
-    def dtype_of(dtype):
-        return dtype
 
     def init(self, rng: jax.Array, t_txt: int = 16, t_mel: int = 64):
         b = 1

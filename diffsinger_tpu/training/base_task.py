@@ -136,6 +136,30 @@ def resolve_precision(precision) -> Optional[object]:
     return None
 
 
+_MASK_KEYS_ON_PAD = ("tokens", "mel2ph", "mel2note")
+
+
+def pad_batch_rows(batch: dict, size: int, target_b: int) -> dict:
+    """Pad the batch axis from ``size`` to ``target_b`` rows.
+
+    Padding rows duplicate the last item (keeps every value finite — zero
+    f0 would produce -inf log-pitch embeddings) but zero out `tokens` /
+    `mel2ph` / `mel2note`, so every loss mask (`tokens > 0`, `mel2ph > 0`)
+    assigns the duplicates zero weight: padded rows contribute nothing to
+    the gradient instead of multiplying the last sample's weight.
+    """
+    if size >= target_b:
+        return batch
+    pad_n = target_b - size
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == size:
+            pad_rows = np.repeat(v[-1:], pad_n, 0)
+            if k in _MASK_KEYS_ON_PAD:
+                pad_rows = np.zeros_like(pad_rows)
+            batch[k] = np.concatenate([v, pad_rows], 0)
+    return batch
+
+
 def _bucket_batch_size(n: int, multiple: int) -> int:
     """Round a batch size up to a power-of-two multiple of ``multiple`` so
     the train-step jit cache is keyed by O(log B) batch sizes instead of
@@ -323,16 +347,13 @@ class BaseTask:
             if n_proc > 1:
                 # every host deterministically recomputes its peers' batch
                 # assignments (same seed/epoch/sizes) so global pad targets
-                # need no communication
-                peer_batches = []
-                for r in range(n_proc):
-                    s = sampler if r == rank else make_sampler(r)
-                    s.set_epoch(epoch)
-                    peer_batches.append(list(s))
+                # need no communication; one forming pass yields all ranks
+                peer_batches = sampler.all_rank_batches()
                 n_positions = min(len(b) for b in peer_batches)
             else:
                 peer_batches, n_positions = None, None
-            for pos, indices in enumerate(sampler):
+            local_batches = peer_batches[rank] if peer_batches is not None else sampler
+            for pos, indices in enumerate(local_batches):
                 if not indices:
                     continue
                 if peer_batches is not None:
@@ -348,16 +369,12 @@ class BaseTask:
                 batch = train_ds.collater([train_ds[i] for i in indices], pad_to=pad_to)
                 batch.pop("indices", None)
                 size = batch.pop("size")
-                # pad the batch axis to a power-of-two device multiple by
-                # repeating the last item (bounded jit cache; duplicate items
-                # mirror the reference's leftover-batch padding)
+                # pad the batch axis to a power-of-two device multiple with
+                # loss-masked duplicate rows (bounded jit cache, zero
+                # gradient weight for the padding — see pad_batch_rows)
                 if target_b is None:
                     target_b = _bucket_batch_size(size, n_devices_local)
-                if size < target_b:
-                    pad_n = target_b - size
-                    for k, v in batch.items():
-                        if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == size:
-                            batch[k] = np.concatenate([v, np.repeat(v[-1:], pad_n, 0)], 0)
+                batch = pad_batch_rows(batch, size, target_b)
                 batch = make_global_batch(self.mesh, batch)
 
                 key = tuple(sorted((k, v.shape) for k, v in batch.items()))

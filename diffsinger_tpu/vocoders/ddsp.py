@@ -80,12 +80,15 @@ class DDSP:
         return mel
 
     def spec2wav_jax(self, mel, f0, rng=None):
-        """mel [B, T, M] log10, f0 [B, T] -> wav [B, T*hop] (device arrays)."""
+        """mel [B, T, M] in the configured ``mel_base`` (same contract as
+        NsfHifiGAN.spec2wav_jax — the batched server calls this directly),
+        f0 [B, T] -> wav [B, T*hop] (device arrays)."""
         if rng is None:
             rng = jax.random.PRNGKey(0)
+        mel = self._mel_to_log10(jnp.asarray(mel, dtype=jnp.float32))
         return self._jitted(self.params, mel, f0, rng)
 
     def spec2wav(self, mel: np.ndarray, *, f0: np.ndarray, **kwargs) -> np.ndarray:
-        mel = self._mel_to_log10(jnp.asarray(mel, dtype=jnp.float32))
-        wav = self.spec2wav_jax(mel[None], jnp.asarray(f0, jnp.float32)[None])
+        wav = self.spec2wav_jax(jnp.asarray(mel, jnp.float32)[None],
+                                jnp.asarray(f0, jnp.float32)[None])
         return np.asarray(wav[0])

@@ -67,6 +67,36 @@ def test_dryrun_multichip_8_devices():
     ge.dryrun_multichip(8)
 
 
+def test_padded_batch_rows_are_loss_masked():
+    """pad_batch_rows duplicates the last item but zeroes tokens/mel2ph so the
+    padding carries zero loss weight: the loss must be invariant to the pad
+    rows' payload (a duplicated item previously multiplied its gradient)."""
+    import __graft_entry__ as ge
+    from diffsinger_tpu.models.toplevel import DiffSingerAcoustic
+    from diffsinger_tpu.training.acoustic_task import make_acoustic_loss_fn
+    from diffsinger_tpu.training.base_task import pad_batch_rows
+
+    hp = ge._acoustic_hparams(tiny=True)
+    model = DiffSingerAcoustic(hp, vocab_size=62, out_dims=hp["audio_num_mel_bins"])
+    params = model.init(jax.random.PRNGKey(0))
+    loss_fn = make_acoustic_loss_fn(model)
+
+    batch = {k: np.asarray(v) for k, v in
+             ge._example_batch(3, 16, 64, hp["audio_num_mel_bins"]).items()}
+    padded = pad_batch_rows({k: v.copy() for k, v in batch.items()}, 3, 4)
+    assert padded["tokens"].shape[0] == 4
+    # pad row is fully masked out of every loss
+    assert (padded["tokens"][3] == 0).all() and (padded["mel2ph"][3] == 0).all()
+    loss_a, _ = loss_fn(params, padded, jax.random.PRNGKey(5))
+    # garble the pad row's unmasked payload: loss must not change
+    garbled = {k: v.copy() for k, v in padded.items()}
+    garbled["mel"][3] = 5.0
+    garbled["f0"][3] = 440.0
+    loss_b, _ = loss_fn(params, garbled, jax.random.PRNGKey(5))
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
+    assert np.isfinite(float(loss_a))
+
+
 def test_acoustic_train_step_loss_decreases():
     """A few optimizer steps on one fixed batch should reduce the loss."""
     import __graft_entry__ as ge
