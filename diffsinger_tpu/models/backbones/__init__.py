@@ -17,10 +17,11 @@ BACKBONES = {
 
 
 def build_backbone(out_dims: int, num_feats: int, backbone_type: str, backbone_args: dict, *,
-                   cond_dims: int, dtype=None):
+                   cond_dims: int, dtype=None, remat: bool = False):
     cls = BACKBONES[backbone_type]
     kwargs = filter_kwargs(dict(backbone_args), cls)
     kwargs.setdefault("dtype", dtype)
+    kwargs.setdefault("remat", remat)
     return cls(in_dims=out_dims, n_feats=num_feats, cond_dims=cond_dims, **kwargs)
 
 

@@ -125,6 +125,11 @@ class LYNXNet(nn.Module):
     dropout_rate: float = 0.0
     strong_cond: bool = False
     dtype: Optional[jnp.dtype] = None
+    # rematerialize each residual layer on the backward pass
+    # (jax.checkpoint): activation memory drops from O(layers) to O(1)
+    # layers at ~1/3 extra compute — enables much larger batch/frame
+    # budgets per chip (config key: recompute_grads)
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -147,8 +152,12 @@ class LYNXNet(nn.Module):
         step = jax.nn.gelu(step, approximate=False)
         step = nn.Dense(c, dtype=self.dtype, name="diffusion_embedding_3")(step)
 
+        layer_cls = LYNXNetResidualLayer
+        if self.remat:
+            # deterministic (arg index 4, counting self) is a static python bool
+            layer_cls = nn.remat(LYNXNetResidualLayer, static_argnums=(4,))
         for i in range(self.num_layers):
-            x = LYNXNetResidualLayer(
+            x = layer_cls(
                 dim=c,
                 expansion_factor=self.expansion_factor,
                 kernel_size=self.kernel_size,
@@ -157,8 +166,8 @@ class LYNXNet(nn.Module):
                 front_cond_inject=self.strong_cond,
                 dtype=self.dtype,
                 name=f"residual_layers_{i}",
-            )(x, cond, step, deterministic=deterministic,
-              cond_proj=None if cond_proj is None else cond_proj[i])
+            )(x, cond, step, deterministic,
+              None if cond_proj is None else cond_proj[i])
 
         x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
         x = nn.Dense(

@@ -63,6 +63,8 @@ class WaveNet(nn.Module):
     num_channels: int = 256
     dilation_cycle_length: int = 4
     dtype: Optional[jnp.dtype] = None
+    # rematerialize residual blocks on backward (see LYNXNet.remat)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, spec: jnp.ndarray, diffusion_step: jnp.ndarray, cond: jnp.ndarray,
@@ -77,14 +79,15 @@ class WaveNet(nn.Module):
         step = mish(step)
         step = nn.Dense(c, dtype=self.dtype, name="mlp_2")(step)
 
+        block_cls = nn.remat(ResidualBlock) if self.remat else ResidualBlock
         skip_sum = jnp.zeros_like(x)
         for i in range(self.num_layers):
-            x, skip = ResidualBlock(
+            x, skip = block_cls(
                 residual_channels=c,
                 dilation=2 ** (i % self.dilation_cycle_length),
                 dtype=self.dtype,
                 name=f"residual_layers_{i}",
-            )(x, cond, step, cond_proj=None if cond_proj is None else cond_proj[i])
+            )(x, cond, step, None if cond_proj is None else cond_proj[i])
             skip_sum = skip_sum + skip
         x = skip_sum / math.sqrt(self.num_layers)
         x = nn.Dense(c, kernel_init=kaiming_normal_torch, dtype=self.dtype, name="skip_projection")(x)

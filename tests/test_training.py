@@ -67,6 +67,48 @@ def test_dryrun_multichip_8_devices():
     ge.dryrun_multichip(8)
 
 
+def test_recompute_grads_matches_plain_gradients():
+    """recompute_grads=true (jax.checkpoint on every denoiser layer) must
+    leave params, loss, and gradients bit-identical — only the backward
+    memory/compute schedule changes. Covers both backbone families."""
+    import jax.numpy as jnp
+    import __graft_entry__ as ge
+    from diffsinger_tpu.models.toplevel import DiffSingerAcoustic, DiffSingerVariance
+    from diffsinger_tpu.training.acoustic_task import make_acoustic_loss_fn
+    from diffsinger_tpu.training.variance_task import make_variance_loss_fn
+
+    hp = ge._acoustic_hparams(tiny=True)
+    batch = ge._example_batch(2, 16, 64, hp["audio_num_mel_bins"])
+    grads = {}
+    for remat in (False, True):
+        hp2 = dict(hp, recompute_grads=remat)
+        model = DiffSingerAcoustic(hp2, vocab_size=62, out_dims=hp["audio_num_mel_bins"])
+        params = model.init(jax.random.PRNGKey(0))
+        loss_fn = make_acoustic_loss_fn(model)
+        g = jax.grad(lambda p: loss_fn(p, batch, jax.random.PRNGKey(3))[0])(params)
+        grads[remat] = (params, g)
+    p0, g0 = grads[False]
+    p1, g1 = grads[True]
+    assert jax.tree_util.tree_structure(g0) == jax.tree_util.tree_structure(g1)
+    for a, b in zip(jax.tree.leaves(p0), jax.tree.leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+    # wavenet family via the variance model (pitch/variance denoisers)
+    hp_v = ge._variance_hparams()
+    batch_v = ge._variance_batch(2, 16, 64)
+    grads_v = {}
+    for remat in (False, True):
+        hp2 = dict(hp_v, recompute_grads=remat)
+        model = DiffSingerVariance(hp2, vocab_size=62)
+        params = model.init(jax.random.PRNGKey(0))
+        loss_fn = make_variance_loss_fn(model)
+        grads_v[remat] = jax.grad(lambda p: loss_fn(p, batch_v, jax.random.PRNGKey(3))[0])(params)
+    for a, b in zip(jax.tree.leaves(grads_v[False]), jax.tree.leaves(grads_v[True])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_padded_batch_rows_are_loss_masked():
     """pad_batch_rows duplicates the last item but zeroes tokens/mel2ph so the
     padding carries zero loss weight: the loss must be invariant to the pad
