@@ -337,6 +337,19 @@ class BaseTask:
         step = optimizer_step(state)
         epoch = 0
         t_last = time.time()
+        # host-side step tracking: `optimizer_step` is a blocking device_get
+        # that would synchronize the loop every iteration (over the remote
+        # tunnel, a full RTT per step). The applied-update count is
+        # deterministic — micro-batches // accumulate_grad_batches — so the
+        # hot loop computes it on the host and lets XLA pipeline dispatch.
+        accum = max(1, int(hp.get("accumulate_grad_batches", 1)))
+        start_step, micro = step, 0
+        # backpressure: hold at most ONE dispatched-but-unfinished step.
+        # Unbounded dispatch piles donated train-state buffers in HBM
+        # (measured: steps/s decays 3.8 -> 0.5 within ~20 steps); a scalar
+        # fetch of the *previous* step's loss keeps the pipeline at depth 1
+        # while still overlapping host batch prep with device compute.
+        pending_metrics = None
         # gate val/log on a step *change* so grad accumulation (k micro-batches
         # per applied update) doesn't re-trigger them k times per boundary
         last_val_step = step
@@ -387,7 +400,11 @@ class BaseTask:
                     profiling = True
                 with self.mesh:
                     state, metrics = jitted[key](state, batch, rng)
-                step = optimizer_step(state)
+                if pending_metrics is not None:
+                    float(pending_metrics["total_loss"])
+                pending_metrics = metrics
+                micro += 1
+                step = start_step + micro // accum
                 if profiling and step >= profile_start + profile_steps:
                     from jax import profiler as jax_profiler
 
