@@ -116,11 +116,14 @@ def main():
     except Exception:
         pass
 
-    n_iters = 3
-    t0 = time.perf_counter()
+    n_iters = 4
+    iter_times = []
     for i in range(n_iters):
+        t0 = time.perf_counter()
         v = float(jitted(params, voc_params, jax.random.fold_in(key, i), tokens, mel2ph, f0))
-    dt = (time.perf_counter() - t0) / n_iters
+        iter_times.append(time.perf_counter() - t0)
+    dt = sum(iter_times) / n_iters
+    dt_best = min(iter_times)
     assert np.isfinite(v)
 
     frames_per_sec = B * T_MEL / dt
@@ -131,6 +134,9 @@ def main():
         "unit": "mel frames/s",
         "vs_baseline": round(frames_per_sec / TARGET_FRAMES_PER_SEC, 3),
     }
+    # best single iteration: closer to machine capability when the shared
+    # device has noisy neighbors (the mean `value` stays the headline)
+    result["value_best_iter"] = round(B * T_MEL / dt_best, 1)
     if flops:
         result["model_tflops_per_run"] = round(flops / 1e12, 4)
         result["mfu"] = round(flops / dt / (peak_tflops * 1e12), 4)
