@@ -50,25 +50,32 @@ def build_fold_plan(
     lhs_dilation: int,
     r_in: int,
     r_out: int,
+    stride: int = 1,
 ) -> Tuple[np.ndarray, int]:
     """Enumerate tap geometry for the folded equivalent of a 1-D conv.
 
-    The underlying (unfolded) op is ``lax.conv_general_dilated`` with
-    window_strides=1: output position p = M * r_out + j reads dilated-input
-    position q = p + t * rhs_dilation - pad_left for tap t; q maps to the real
-    input m = q / lhs_dilation when divisible (else the tap hits an inserted
-    zero). In folded coordinates m = N * r_in + s.
+    The underlying (unfolded) op is ``lax.conv_general_dilated``: output
+    position p = M * r_out + j reads dilated-input position
+    q = p * stride + t * rhs_dilation - pad_left for tap t; q maps to the
+    real input m = q / lhs_dilation when divisible (else the tap hits an
+    inserted zero). In folded coordinates m = N * r_in + s.
+
+    Block-structure requirement: r_out * stride == r_in * lhs_dilation
+    (each output block advances exactly one input block). Covers plain
+    (stride=ld=1, r_in==r_out), transposed (ld=u, r_out=r_in*u), and strided
+    downsampling convs (stride=s, r_in=r_out*s) like the NSF source
+    injections.
 
     Returns (F, block_pad_left) where F is float32 [k, k_blocks, r_in, r_out]
     with F[t, Q, s, j] = 1 iff output sub-position j's tap t reads input
     block M + Q - block_pad_left at sub-position s.
     """
-    assert r_out % lhs_dilation == 0, (r_out, lhs_dilation)
-    assert r_out == r_in * lhs_dilation, (r_out, r_in, lhs_dilation)
+    assert (r_out * stride) % lhs_dilation == 0, (r_out, stride, lhs_dilation)
+    assert r_out * stride == r_in * lhs_dilation, (r_out, stride, r_in, lhs_dilation)
     entries = []
     for j in range(r_out):
         for t in range(k):
-            q = j + t * rhs_dilation - pad_left
+            q = j * stride + t * rhs_dilation - pad_left
             if q % lhs_dilation != 0:
                 continue  # inserted zero of the lhs-dilated input
             m = q // lhs_dilation  # python floor division: negatives pad
@@ -90,13 +97,14 @@ def fold_kernel(
     lhs_dilation: int = 1,
     r_in: int,
     r_out: int,
+    stride: int = 1,
 ) -> Tuple[jnp.ndarray, int]:
     """Fold a [k, C_in, C_out] kernel into its [k_blocks, r_in*C_in,
     r_out*C_out] block-Toeplitz equivalent. Returns (folded, block_pad_left).
     """
     k, c_in, c_out = kernel.shape
     F, block_pad_left = build_fold_plan(
-        k, rhs_dilation, pad_left, lhs_dilation, r_in, r_out
+        k, rhs_dilation, pad_left, lhs_dilation, r_in, r_out, stride
     )
     w = jnp.einsum("tqsj,tio->qsijo", jnp.asarray(F, kernel.dtype), kernel)
     return w.reshape(w.shape[0], r_in * c_in, r_out * c_out), block_pad_left
@@ -112,6 +120,7 @@ def apply_folded_conv(
     lhs_dilation: int = 1,
     r_in: int,
     r_out: int,
+    stride: int = 1,
     out_blocks: int,
 ) -> jnp.ndarray:
     """Run the folded equivalent of a 1-D conv on x_f [B, L/r_in, r_in*C_in].
@@ -121,7 +130,7 @@ def apply_folded_conv(
     """
     w_f, block_pad_left = fold_kernel(
         kernel, rhs_dilation=rhs_dilation, pad_left=pad_left,
-        lhs_dilation=lhs_dilation, r_in=r_in, r_out=r_out,
+        lhs_dilation=lhs_dilation, r_in=r_in, r_out=r_out, stride=stride,
     )
     k_blocks = w_f.shape[0]
     block_pad_right = out_blocks - x_f.shape[1] + k_blocks - 1 - block_pad_left

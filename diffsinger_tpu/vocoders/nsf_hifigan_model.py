@@ -191,10 +191,13 @@ class FoldedResBlock2(nn.Module):
 
 def sine_source_full(f0: jnp.ndarray, upp: int, sampling_rate: int, harmonic_num: int,
                      rng: jax.Array, sine_amp: float = 0.1, noise_std: float = 0.003,
-                     voiced_threshold: float = 0.0) -> jnp.ndarray:
+                     voiced_threshold: float = 0.0, dense: bool = False) -> jnp.ndarray:
     """SineGen._f02sine + forward (models.py:133-164): 9-harmonic sine bank with
-    per-frame phase continuation, uv gating and noise. Returns [B, L*upp, dim].
-    All phase math in float32 with fmod rebasing."""
+    per-frame phase continuation, uv gating and noise. Returns [B, L*upp, dim],
+    or the lane-dense [B, F, upp, dim] when ``dense`` (identical values in
+    row-major order — a [B, L, dim] tensor pads dim up to 128 TPU lanes, ~14x
+    wasted HBM traffic at dim=9). All phase math in float32 with fmod rebasing.
+    """
     b, frames = f0.shape
     dim = harmonic_num + 1
     f0 = f0[:, :, None].astype(jnp.float32)  # [B, F, 1]
@@ -203,15 +206,25 @@ def sine_source_full(f0: jnp.ndarray, upp: int, sampling_rate: int, harmonic_num
     rad2 = jnp.mod(rad[..., -1:] + 0.5, 1.0) - 0.5
     rad_acc = jnp.mod(jnp.cumsum(rad2, axis=1), 1.0)
     rad = rad + jnp.pad(rad_acc[:, :-1, :], ((0, 0), (1, 0), (0, 0)))
-    rad = rad.reshape(b, -1, 1)  # [B, L, 1]
-    rad = rad * jnp.arange(1, dim + 1, dtype=jnp.float32).reshape(1, 1, -1)
     rng_phase, rng_noise = jax.random.split(rng)
     rand_ini = jax.random.uniform(rng_phase, (1, 1, dim))
     rand_ini = rand_ini.at[..., 0].set(0.0)
+    harmonics = jnp.arange(1, dim + 1, dtype=jnp.float32)
+    uv = (f0 > voiced_threshold).astype(jnp.float32)  # [B, F, 1]
+
+    if dense:
+        rad4 = rad[..., None] * harmonics + rand_ini[:, :, None, :]  # [B, F, upp, dim]
+        sines = jnp.sin(2 * np.pi * rad4) * sine_amp
+        uv4 = uv[:, :, :, None]  # [B, F, 1, 1] broadcasts over (upp, dim)
+        noise_amp = uv4 * noise_std + (1 - uv4) * sine_amp / 3
+        # same flat element order as the canonical [B, L, dim] draw
+        noise = noise_amp * jax.random.normal(rng_noise, sines.shape)
+        return sines * uv4 + noise
+
+    rad = rad.reshape(b, -1, 1)  # [B, L, 1]
+    rad = rad * harmonics.reshape(1, 1, -1)
     rad = rad + rand_ini
     sines = jnp.sin(2 * np.pi * rad) * sine_amp
-
-    uv = (f0 > voiced_threshold).astype(jnp.float32)  # [B, F, 1]
     uv = jnp.repeat(uv, upp, axis=1)  # nearest upsample -> [B, L, 1]
     noise_amp = uv * noise_std + (1 - uv) * sine_amp / 3
     noise = noise_amp * jax.random.normal(rng_noise, sines.shape)
@@ -235,6 +248,59 @@ def fast_sine_gen(f0: jnp.ndarray, upp: int, source_sr: float,
     if dense:
         return sines
     return sines.reshape(f0.shape[0], -1, 1)
+
+
+class FoldedStridedSourceConv(nn.Module):
+    """Full-NSF per-stage source injection from the lane-dense [B, L] source.
+
+    Param-compatible with the canonical ``nn.Conv(features, (2*stride,),
+    strides=(stride,), padding=stride//2)`` (or the 1x1 last-stage conv):
+    the 1-channel source refolds to [B, L/(r_out*stride), r_out*stride] and
+    the conv runs as its exact block-Toeplitz equivalent, emitting the
+    stage's folded (or r_out=1 canonical) layout directly.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int
+    r_out: int
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, har2d: jnp.ndarray) -> jnp.ndarray:
+        from diffsinger_tpu.vocoders.folding import apply_folded_conv
+
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.kernel_size, 1, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        r_in = self.r_out * self.stride
+        b, total = har2d.shape
+        src = har2d.reshape(b, total // r_in, r_in)
+        return apply_folded_conv(
+            src.astype(self.dtype or src.dtype),
+            kernel.astype(self.dtype or kernel.dtype), bias,
+            pad_left=self.padding, r_in=r_in, r_out=self.r_out,
+            stride=self.stride, out_blocks=total // r_in,
+        )
+
+
+class DenseHarmonicMerge(nn.Module):
+    """Param-compatible with ``nn.Dense(1)`` (m_source_linear) applied on the
+    lane-dense [B, F, upp, dim] sine bank; contracts the harmonic dim with an
+    einsum so no [.., 1]-channel tensor (which would pad to 128 lanes) is
+    ever materialized. Returns [B, F, upp]."""
+
+    @nn.compact
+    def __call__(self, sines: jnp.ndarray) -> jnp.ndarray:
+        dim = sines.shape[-1]
+        kernel = self.param(
+            "kernel", nn.linear.default_kernel_init, (dim, 1)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (1,))
+        return jnp.einsum("bfuh,ho->bfu", sines, kernel.astype(sines.dtype)) + bias[0]
 
 
 class DenseSourceInject(nn.Module):
@@ -279,6 +345,7 @@ class Generator(nn.Module):
         num_upsamples = len(h.upsample_rates)
         num_kernels = len(h.resblock_kernel_sizes)
 
+        har2d = None
         if h.mini_nsf:
             source_sr = h.sampling_rate / int(np.prod(h.upsample_rates[2:]))
             upp = int(np.prod(h.upsample_rates[:2]))
@@ -287,9 +354,19 @@ class Generator(nn.Module):
             upp = int(np.prod(h.upsample_rates))
             if rng is None:
                 rng = jax.random.PRNGKey(0)
-            sine_wavs = sine_source_full(f0, upp, h.sampling_rate, harmonic_num=8, rng=rng)
-            merged = nn.Dense(1, name="m_source_linear")(sine_wavs)
-            har_source = jnp.tanh(merged)  # [B, T*hop, 1]
+            if self.fold_lanes:
+                # lane-dense source: sine bank stays [B, F, upp, dim] and the
+                # harmonic merge contracts to a dense [B, L] signal — the
+                # canonical [B, L, 9]/[B, L, 1] tensors pad 9->128 lanes
+                sine_dense = sine_source_full(
+                    f0, upp, h.sampling_rate, harmonic_num=8, rng=rng, dense=True
+                )
+                merged = DenseHarmonicMerge(name="m_source_linear")(sine_dense)
+                har2d = jnp.tanh(merged).reshape(merged.shape[0], -1)  # [B, L]
+            else:
+                sine_wavs = sine_source_full(f0, upp, h.sampling_rate, harmonic_num=8, rng=rng)
+                merged = nn.Dense(1, name="m_source_linear")(sine_wavs)
+                har_source = jnp.tanh(merged)  # [B, T*hop, 1]
 
         x = nn.Conv(
             h.upsample_initial_channel, kernel_size=(7,), padding=3,
@@ -327,17 +404,26 @@ class Generator(nn.Module):
             if not h.mini_nsf:
                 if i + 1 < num_upsamples:
                     stride_f0 = int(np.prod(h.upsample_rates[i + 1:]))
-                    x_source = nn.Conv(
-                        ch, kernel_size=(stride_f0 * 2,), strides=(stride_f0,),
-                        padding=stride_f0 // 2, dtype=self.dtype, name=f"noise_convs_{i}",
-                    )(har_source)
+                    kf, pf = stride_f0 * 2, stride_f0 // 2
                 else:
-                    x_source = nn.Conv(ch, kernel_size=(1,), dtype=self.dtype,
-                                       name=f"noise_convs_{i}")(har_source)
-                x_source = x_source[:, :n_frames]
-                if r > 1:  # fold = plain reshape (time-major channel blocks)
-                    x_source = x_source.reshape(x_source.shape[0], -1, r * ch)
-                x = x + x_source
+                    stride_f0, kf, pf = 1, 1, 0
+                if har2d is not None:
+                    # folded strided conv straight from the dense source into
+                    # this stage's layout (param-compatible, exact values)
+                    x_source = FoldedStridedSourceConv(
+                        ch, kf, stride_f0, pf, r_out=r, dtype=self.dtype,
+                        name=f"noise_convs_{i}",
+                    )(har2d)
+                    x = x + x_source[:, : x.shape[1]]
+                else:
+                    x_source = nn.Conv(
+                        ch, kernel_size=(kf,), strides=(stride_f0,),
+                        padding=pf, dtype=self.dtype, name=f"noise_convs_{i}",
+                    )(har_source)
+                    x_source = x_source[:, :n_frames]
+                    if r > 1:  # fold = plain reshape (time-major channel blocks)
+                        x_source = x_source.reshape(x_source.shape[0], -1, r * ch)
+                    x = x + x_source
             elif i == 1:
                 x_source = DenseSourceInject(ch, dtype=self.dtype, name="source_conv")(
                     har_dense
