@@ -19,6 +19,7 @@ validation pass — no stage flag is needed.
 
 from __future__ import annotations
 
+import os
 import pathlib
 import time
 from typing import Dict, Optional
@@ -350,6 +351,13 @@ class BaseTask:
         # fetch of the *previous* step's loss keeps the pipeline at depth 1
         # while still overlapping host batch prep with device compute.
         pending_metrics = None
+        # Pipelined dispatch degrades the axon remote runtime (measured:
+        # steps/s decays 2.2 -> 0.4 within ~20 steps even at depth 1 —
+        # deferred remote releases of donated state buffers pile up in HBM),
+        # so the tunnel defaults to per-step sync; local runtimes pipeline.
+        # DS_SYNC_STEPS=0/1 overrides either way.
+        remote_runtime = jax.devices()[0].platform == "axon"
+        sync_steps = os.environ.get("DS_SYNC_STEPS", "1" if remote_runtime else "0") == "1"
         # gate val/log on a step *change* so grad accumulation (k micro-batches
         # per applied update) doesn't re-trigger them k times per boundary
         last_val_step = step
@@ -400,7 +408,9 @@ class BaseTask:
                     profiling = True
                 with self.mesh:
                     state, metrics = jitted[key](state, batch, rng)
-                if pending_metrics is not None:
+                if sync_steps:
+                    float(metrics["total_loss"])
+                elif pending_metrics is not None:
                     float(pending_metrics["total_loss"])
                 pending_metrics = metrics
                 micro += 1
