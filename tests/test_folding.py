@@ -60,6 +60,28 @@ def test_folded_transposed_conv_exact(c_in, r_in, u, k):
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=2e-4)
 
 
+@pytest.mark.parametrize("c_out,r_out,stride", [(64, 2, 4), (32, 4, 2), (16, 8, 1), (256, 1, 8)])
+def test_folded_strided_source_conv_exact(c_out, r_out, stride):
+    """Strided downsampling conv (full-NSF noise_convs: k=2s, pad s//2) from a
+    1-channel source folded at r_in = r_out*stride."""
+    rng = np.random.default_rng(2)
+    L = 512
+    k = 2 * stride if stride > 1 else 1
+    pad = stride // 2
+    x = jnp.asarray(rng.standard_normal((2, L, 1)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((k, 1, c_out)).astype(np.float32))
+    ref = lax.conv_general_dilated(
+        x, w, (stride,), [(pad, pad)], dimension_numbers=("NWC", "WIO", "NWC"))
+    r_in = r_out * stride
+    out = apply_folded_conv(
+        x.reshape(2, L // r_in, r_in), w, None,
+        pad_left=pad, r_in=r_in, r_out=r_out, stride=stride,
+        out_blocks=L // r_in,
+    ).reshape(2, L // stride, c_out)
+    assert ref.shape == out.shape
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=2e-4)
+
+
 @pytest.mark.parametrize("mini_nsf", [True, False])
 def test_generator_folded_matches_canonical(mini_nsf):
     rng = np.random.default_rng(2)
