@@ -45,7 +45,13 @@ class NsfHifiGAN:
                     f"Mismatch parameters: hparams[{hp_key!r}]={hparams[hp_key]} != "
                     f"{getattr(self.config, cfg_key)} (vocoder)"
                 )
-        self.model = Generator(self.config)
+        from diffsinger_tpu.training.base_task import resolve_precision
+
+        # infer_precision: bf16 speeds the (bandwidth-bound) vocoder too;
+        # phase math stays fp32 inside the source generators
+        self.model = Generator(
+            self.config, dtype=resolve_precision(hparams.get("infer_precision"))
+        )
 
         if model_path.exists():
             from diffsinger_tpu.utils.torch_convert import convert_nsf_hifigan, load_torch_file
