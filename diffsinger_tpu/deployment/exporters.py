@@ -31,6 +31,12 @@ class BaseExporter:
     def __init__(self, hparams: dict, export_dir: pathlib.Path, fmt: str = "stablehlo"):
         if fmt not in ("stablehlo", "onnx", "both"):
             raise ValueError(f"unknown export format {fmt!r}")
+        # exported artifacts are fp32 regardless of the serving-time
+        # infer_precision opt-in: ONNX consumers have no bfloat16, and
+        # reference-parity artifacts are fp32 (runtimes may still run a
+        # StableHLO artifact in bf16 via their own execution options)
+        if hparams.get("infer_precision"):
+            hparams = dict(hparams, infer_precision=None)
         self.hparams = hparams
         self.fmt = fmt
         self.export_dir = pathlib.Path(export_dir)
@@ -112,7 +118,7 @@ class DiffSingerAcousticExporter(BaseExporter):
         super().__init__(hparams, export_dir, fmt=fmt)
         from diffsinger_tpu.inference.ds_acoustic import DiffSingerAcousticInfer
 
-        self.infer = DiffSingerAcousticInfer(hparams, load_vocoder=False, ckpt_steps=ckpt_steps)
+        self.infer = DiffSingerAcousticInfer(self.hparams, load_vocoder=False, ckpt_steps=ckpt_steps)
         self.model = self.infer.model
         self.params = self.infer.params
         # (t_txt, t_mel) shape set; StableHLO is fixed-shape, so a serving
@@ -228,7 +234,7 @@ class DiffSingerVarianceExporter(BaseExporter):
         super().__init__(hparams, export_dir, fmt=fmt)
         from diffsinger_tpu.inference.ds_variance import DiffSingerVarianceInfer
 
-        self.infer = DiffSingerVarianceInfer(hparams, ckpt_steps=ckpt_steps, predictions=set())
+        self.infer = DiffSingerVarianceInfer(self.hparams, ckpt_steps=ckpt_steps, predictions=set())
         self.model = self.infer.model
         self.params = self.infer.params
         self.buckets = [tuple(b) for b in (buckets or self.DEFAULT_BUCKETS)]
@@ -365,7 +371,7 @@ class NSFHiFiGANExporter(BaseExporter):
         super().__init__(hparams, export_dir, fmt=fmt)
         from diffsinger_tpu.vocoders.nsf_hifigan import NsfHifiGAN
 
-        self.vocoder = NsfHifiGAN(hparams)
+        self.vocoder = NsfHifiGAN(self.hparams)
         self.buckets = [int(b) for b in (buckets or self.DEFAULT_BUCKETS)]
         self.bucket_files: dict = {}
 

@@ -66,6 +66,39 @@ def test_acoustic_export_roundtrip(tmp_path):
                                atol=1e-4, rtol=1e-4)
 
 
+def test_export_forces_fp32_despite_bf16_infer_precision(tmp_path):
+    """infer_precision: bf16 is a serving-time opt-in; exported artifacts
+    stay fp32 (the ONNX emitter has no bfloat16, and reference-parity
+    artifacts are fp32). Regression for the exporter KeyError(bfloat16)."""
+    from diffsinger_tpu.vocoders.nsf_hifigan import NsfHifiGAN
+    from diffsinger_tpu.deployment.exporters import NSFHiFiGANExporter
+
+    import json
+
+    (tmp_path / "config.json").write_text(json.dumps(dict(
+        num_mels=8, sampling_rate=44100,
+        upsample_rates=[4, 4, 2, 2], upsample_kernel_sizes=[8, 8, 4, 4],
+        upsample_initial_channel=16, resblock="1",
+        resblock_kernel_sizes=[3], resblock_dilation_sizes=[[1, 3, 5]],
+        mini_nsf=True,
+    )))
+    hp = dict(
+        vocoder_ckpt=str(tmp_path / "missing.ckpt"),
+        audio_num_mel_bins=8, audio_sample_rate=44100,
+        infer_precision="bf16",
+    )
+    with pytest.warns(UserWarning):
+        serving = NsfHifiGAN(hp)
+    assert serving.model.dtype is not None  # bf16 serving model
+    out = tmp_path / "voc_export"
+    with pytest.warns(UserWarning):
+        exporter = NSFHiFiGANExporter(hp, out, buckets=(16,), fmt="onnx")
+    assert exporter.vocoder.model.dtype is None  # exporters build fp32
+    exporter.export()
+    onnx_files = list(out.glob("*.onnx"))
+    assert onnx_files, "no ONNX emitted"
+
+
 def test_acoustic_export_bucket_set(tmp_path):
     """StableHLO is fixed-shape; the exporter emits one artifact per bucket
     and records the bucket table in dsconfig.yaml."""

@@ -41,15 +41,16 @@ def make_corpus(raw: pathlib.Path, dict_path: pathlib.Path, n_items: int, second
         y = 0.25 * np.sin(2 * np.pi * f0 * np.cumsum(vib) / SR)
         y += 0.12 * np.sin(2 * np.pi * 2 * f0 * t) + 0.01 * rng.standard_normal(len(t))
         save_wav(y.astype(np.float32), raw / "wavs" / f"item{i}.wav", SR)
-        # 8 phonemes spread over the item
-        n_ph = 8
-        d = seconds / n_ph
-        ph = "AP " + " ".join(["k a"] * ((n_ph - 2) // 2)) + " SP"
-        dur = " ".join([f"{d:.4f}"] * n_ph)
-        num = "1 " + " ".join(["2"] * ((n_ph - 2) // 2)) + " 1"
-        notes = "rest " + " ".join(["A3"] * ((n_ph - 2) // 2)) + " rest"
-        ndur = f"{2 * d:.4f} " + " ".join([f"{2 * d:.4f}"] * ((n_ph - 2) // 2 - 1)) + f" {2 * d:.4f} {2 * d:.4f}"
-        slur = "0 " + " ".join(["0"] * ((n_ph - 2) // 2)) + " 0"
+        # 8 phonemes: AP + 3x(k a) + SP; words are (1, 2, 2, 2, 1) phonemes
+        # so note durations (d, 2d, 2d, 2d, d) sum exactly to the audio length
+        n_words = 5
+        d = seconds / 8
+        ph = "AP " + " ".join(["k a"] * 3) + " SP"
+        dur = " ".join([f"{d:.4f}"] * 8)
+        num = "1 " + " ".join(["2"] * 3) + " 1"
+        notes = "rest " + " ".join(["A3"] * 3) + " rest"
+        ndur = " ".join(f"{w * d:.4f}" for w in (1, 2, 2, 2, 1))
+        slur = " ".join(["0"] * n_words)
         rows.append(f"item{i},{ph},{dur},{num},{notes},{ndur},{slur}")
     (raw / "transcriptions.csv").write_text("\n".join(rows) + "\n")
 
@@ -142,18 +143,23 @@ def main():
 
     # parse "(X.XX it/s)" windows from log_interval lines
     windows = [float(m) for m in re.findall(r"\(([0-9.]+) it/s\)", log)]
-    # frames/batch: parse batch shapes if logged; else report budget
+    post = windows[1:] or windows  # drop the compile-dominated first window
+    steady = round(sum(post) / len(post), 3) if windows else None
+    best = round(max(post), 3) if windows else None
+    import jax
+
     result = {
-        "device": "tpu (axon tunnel)",
+        "device": jax.devices()[0].platform,
         "precision": "16-mixed (bf16 compute / fp32 params)",
-        "config": "flagship acoustic (hidden 256, LYNXNet 6x1024, 128 mel)",
+        "config": str(cfg),
         "max_batch_frames": args.frames,
         "steps": args.steps,
         "wall_s": round(dt, 1),
         "steps_per_s_windows": windows,
-        "steps_per_s_steady": round(max(windows[1:] or windows), 3) if windows else None,
+        "steps_per_s_steady": steady,       # mean of post-compile windows
+        "steps_per_s_best_window": best,
         "mel_frames_per_s_upper_bound": (
-            round(args.frames * max(windows[1:] or windows), 1) if windows else None
+            round(args.frames * steady, 1) if steady else None
         ),
     }
     out = ROOT / "docs" / "perf" / "train_bench.json"
