@@ -139,6 +139,33 @@ def test_padded_batch_rows_are_loss_masked():
     assert np.isfinite(float(loss_a))
 
 
+def test_padded_batch_rows_are_loss_masked_variance():
+    """Same invariance for the variance family: dur loss is masked by
+    tokens > 0 and pitch/variance losses by mel2ph > 0, so a pad row's
+    payload must not change the loss."""
+    import __graft_entry__ as ge
+    from diffsinger_tpu.models.toplevel import DiffSingerVariance
+    from diffsinger_tpu.training.variance_task import make_variance_loss_fn
+    from diffsinger_tpu.training.base_task import pad_batch_rows
+
+    hp = ge._variance_hparams()
+    model = DiffSingerVariance(hp, vocab_size=62)
+    params = model.init(jax.random.PRNGKey(0))
+    loss_fn = make_variance_loss_fn(model)
+
+    batch = {k: np.asarray(v) for k, v in ge._variance_batch(3, 16, 64).items()}
+    padded = pad_batch_rows({k: v.copy() for k, v in batch.items()}, 3, 4)
+    assert (padded["tokens"][3] == 0).all() and (padded["mel2ph"][3] == 0).all()
+    loss_a, _ = loss_fn(params, padded, jax.random.PRNGKey(5))
+    garbled = {k: v.copy() for k, v in padded.items()}
+    garbled["pitch"][3] = 90.0
+    garbled["energy"][3] = -5.0
+    garbled["ph_dur"][3] = 2.0
+    loss_b, _ = loss_fn(params, garbled, jax.random.PRNGKey(5))
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-6)
+    assert np.isfinite(float(loss_a))
+
+
 def test_acoustic_train_step_loss_decreases():
     """A few optimizer steps on one fixed batch should reduce the loss."""
     import __graft_entry__ as ge
