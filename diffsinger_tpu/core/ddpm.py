@@ -151,6 +151,79 @@ def sample_plms(
     return x
 
 
+def inference_dynamic(
+    denoise_fn: DenoiseFn,
+    sched: DiffusionSchedule,
+    noise: jnp.ndarray,
+    *,
+    depth: jnp.ndarray,
+    steps: jnp.ndarray,
+    k_step: int,
+    x_start: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Deployment-contract DDPM sampler with *runtime* ``depth`` (f32 scalar)
+    and ``steps`` (i32 scalar) — reference deployment/modules/diffusion.py:107-155.
+    Without a shallow source the speedup is snapped down to the largest divisor
+    of ``timesteps`` (the reference's ``timestep_factors`` buffer, ddpm.py:114-115);
+    with one, the requested depth is rounded down to a multiple of the raw
+    speedup instead (diffusion.py:116-120).
+
+    DDIM stepping throughout. The reference's stochastic ``p_sample`` branch
+    (taken only when speedup == 1, i.e. steps >= timesteps) is approximated by
+    DDIM at interval 1 so the exported loop body stays RNG-free — a documented
+    divergence on that pathological setting (the reference itself notes
+    loudness issues there, deployment/modules/diffusion.py:41-43).
+    """
+    timesteps = sched.timesteps
+    steps = jnp.maximum(jnp.asarray(steps, jnp.int32), 1)
+    if x_start is None:
+        factors = jnp.asarray(
+            [i for i in range(1, timesteps + 1) if timesteps % i == 0], jnp.int32
+        )
+        raw = jnp.maximum(1, jnp.int32(timesteps) // steps)
+        speedup = factors[jnp.sum((factors <= raw).astype(jnp.int32)) - 1]
+        # reference iterates arange(0, k_step, speedup).flip
+        t_top = (jnp.int32(k_step) - 1) // speedup * speedup
+        x = noise
+    else:
+        depth_int = jnp.minimum(
+            jnp.round(jnp.asarray(depth, jnp.float32) * timesteps).astype(jnp.int32),
+            jnp.int32(k_step),
+        )
+        speedup = jnp.maximum(1, depth_int // steps)
+        depth_int = depth_int // speedup * speedup
+        b = x_start.shape[0]
+        x_noised = q_sample(
+            sched, x_start, jnp.maximum(depth_int - 1, 0) * jnp.ones((b,), jnp.int32), noise
+        )
+        x = jnp.where(
+            depth_int >= timesteps, noise,
+            jnp.where(depth_int > 0, x_noised, x_start),
+        )
+        t_top = depth_int - speedup
+
+    acp = jnp.asarray(sched.alphas_cumprod)
+    b = noise.shape[0]
+
+    def cond_fn(carry):
+        return carry[0] >= 0
+
+    def body_fn(carry):
+        t, x = carry
+        tb = jnp.full((b,), t, dtype=jnp.int32)
+        a_t = acp[t]
+        a_prev = acp[jnp.maximum(t - speedup, 0)]
+        eps = denoise_fn(x, tb)
+        x_prev = jnp.sqrt(a_prev) * (
+            x / jnp.sqrt(a_t)
+            + (jnp.sqrt((1 - a_prev) / a_prev) - jnp.sqrt((1 - a_t) / a_t)) * eps
+        )
+        return t - speedup, x_prev
+
+    _, x = jax.lax.while_loop(cond_fn, body_fn, (t_top, x))
+    return x
+
+
 def inference(
     denoise_fn: DenoiseFn,
     sched: DiffusionSchedule,

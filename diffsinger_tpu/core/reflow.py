@@ -84,6 +84,52 @@ def sample_ode(
     return x
 
 
+def inference_dynamic(
+    velocity_fn: VelocityFn,
+    noise: jnp.ndarray,
+    *,
+    depth: jnp.ndarray,
+    steps: jnp.ndarray,
+    t_start_min: float,
+    time_scale_factor: float,
+    x_end: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Deployment-contract sampler: ``depth`` (f32 scalar) and ``steps``
+    (i32 scalar) are *runtime* values, so exported graphs accept OpenUTAU's
+    per-phrase depth/steps without re-export (reference
+    deployment/modules/rectified_flow.py:37-69). Euler integration only —
+    matching the reference's deployed ONNX, which hardcodes sample_euler.
+
+    The dynamic trip count lowers to ``lax.while_loop`` (ONNX ``Loop`` with a
+    live condition; StableHLO ``while``).
+    """
+    if x_end is None:
+        t_start = jnp.float32(0.0)
+        x = noise
+    else:
+        t_start = jnp.maximum(1.0 - jnp.asarray(depth, jnp.float32),
+                              jnp.float32(t_start_min))
+        x = jnp.where(
+            t_start <= 0.0, noise,
+            jnp.where(t_start >= 1.0, x_end,
+                      t_start * x_end + (1.0 - t_start) * noise),
+        )
+    steps = jnp.maximum(jnp.asarray(steps, jnp.int32), 1)
+    dt = (1.0 - t_start) / steps.astype(jnp.float32)
+    b = noise.shape[0]
+
+    def cond_fn(carry):
+        return carry[0] < steps
+
+    def body_fn(carry):
+        i, x = carry
+        t = jnp.full((b,), t_start + i.astype(jnp.float32) * dt, jnp.float32)
+        return i + 1, x + velocity_fn(x, time_scale_factor * t) * dt
+
+    _, x = jax.lax.while_loop(cond_fn, body_fn, (jnp.int32(0), x))
+    return x
+
+
 def inference(
     velocity_fn: VelocityFn,
     shape_like: jnp.ndarray,

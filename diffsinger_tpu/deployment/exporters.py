@@ -70,17 +70,20 @@ class BaseExporter:
         print(f"| export: {path} ({path.stat().st_size / 1e6:.2f} MB)")
 
     def _serialize_onnx(self, fn, args, path: pathlib.Path, *, input_names,
-                        output_names, internal_noise=()):
+                        output_names, internal_noise=(), internal_constants=None):
         """Emit an ONNX graph (self-contained emitter, deployment/onnx/) for
         OpenUTAU-style consumption (reference acoustic_exporter.py:104-113).
         `internal_noise` names inputs replaced by in-graph RandomNormalLike
-        sources so the public signature matches the reference's ONNX."""
+        sources; `internal_constants` maps input names to baked values — both
+        keep the public signature aligned with the reference's ONNX."""
         from diffsinger_tpu.deployment.onnx import lower
 
         gb = lower(fn, args, name=path.stem, input_names=list(input_names),
                    output_names=list(output_names))
         for noise_name in internal_noise:
             gb.internalize_noise(noise_name)
+        for const_name, value in (internal_constants or {}).items():
+            gb.internalize_constant(const_name, value)
         path.write_bytes(gb.model_bytes())
         print(f"| export: {path} ({path.stat().st_size / 1e6:.2f} MB)")
 
@@ -135,7 +138,15 @@ class DiffSingerAcousticExporter(BaseExporter):
         hp = self.hparams
         model = self.model
         name = hp["exp_name"] or "acoustic"
-        steps = hp.get("sampling_steps", 20)
+        # example values only — depth/steps are *runtime* inputs of the
+        # exported graphs (reference deployment contract,
+        # deployment/exporters/acoustic_exporter.py:256-311: 'depth' input iff
+        # use_shallow_diffusion, 'steps' always).
+        steps0 = jnp.int32(hp.get("sampling_steps", 20))
+        depth0 = jnp.float32(
+            min(hp.get("K_step_infer", hp.get("K_step", 1000)), hp.get("K_step", 1000))
+            / hp.get("timesteps", 1000)
+        )
 
         def fs2_aux(params, tokens, mel2ph, f0):
             cond = model.module.apply(params, tokens, mel2ph, f0, method="encode")
@@ -144,15 +155,14 @@ class DiffSingerAcousticExporter(BaseExporter):
                 aux = model.module.apply(params, cond, infer=True, method="aux")
             return cond, aux
 
-        def sampler(params, rng, tokens, mel2ph, f0):
-            out = model.forward_infer(params, rng, tokens, mel2ph, f0, steps=steps)
+        def sampler(params, rng, tokens, mel2ph, f0, depth, steps):
+            out = model.forward_infer_dynamic(params, rng, tokens, mel2ph, f0,
+                                              depth=depth, steps=steps)
             return out.diff_out
 
-        key = jax.random.PRNGKey(0)
-
-        def sampler_onnx(tokens, mel2ph, f0, noise):
-            out = model.forward_infer(self.params, key, tokens, mel2ph, f0,
-                                      steps=steps, noise=noise)
+        def sampler_onnx(tokens, mel2ph, f0, depth, steps, noise):
+            out = model.forward_infer_dynamic(self.params, None, tokens, mel2ph, f0,
+                                              depth=depth, steps=steps, noise=noise)
             return out.diff_out
 
         def fs2_aux_onnx(tokens, mel2ph, f0):
@@ -171,7 +181,9 @@ class DiffSingerAcousticExporter(BaseExporter):
                 self._serialize(fs2_aux, (self.params, tokens, mel2ph, f0),
                                 self.export_dir / files["fs2_aux"])
                 self._serialize(
-                    sampler, (self.params, jax.random.PRNGKey(0), tokens, mel2ph, f0),
+                    sampler,
+                    (self.params, jax.random.PRNGKey(0), tokens, mel2ph, f0,
+                     depth0, steps0),
                     self.export_dir / files["acoustic"],
                 )
             if self.want_onnx:
@@ -185,11 +197,19 @@ class DiffSingerAcousticExporter(BaseExporter):
                     fs2_aux_onnx, (tokens, mel2ph, f0),
                     self.export_dir / files["fs2_aux_onnx"],
                     input_names=["tokens", "mel2ph", "f0"], output_names=outs)
+                # `depth` is a public input only for shallow-diffusion models
+                # (reference acoustic_exporter.py:305-308); on non-shallow
+                # models it is traced but unused, so it is baked back in as a
+                # constant to keep the reference signature.
                 self._serialize_onnx(
-                    sampler_onnx, (tokens, mel2ph, f0, noise),
+                    sampler_onnx, (tokens, mel2ph, f0, depth0, steps0, noise),
                     self.export_dir / files["acoustic_onnx"],
-                    input_names=["tokens", "mel2ph", "f0", "noise"],
-                    output_names=["mel"], internal_noise=["noise"])
+                    input_names=["tokens", "mel2ph", "f0", "depth", "steps", "noise"],
+                    output_names=["mel"],
+                    internal_noise=["noise"],
+                    internal_constants=(
+                        {} if model.use_shallow_diffusion
+                        else {"depth": np.float32(depth0)}))
             self.bucket_files[f"{t_txt}x{t_mel}"] = files
 
     def export_attachments(self):
@@ -213,7 +233,18 @@ class DiffSingerAcousticExporter(BaseExporter):
             "use_key_shift_embed": hp.get("use_key_shift_embed", False),
             "use_speed_embed": hp.get("use_speed_embed", False),
             "use_shallow_diffusion": hp.get("use_shallow_diffusion", False),
-            "max_depth": hp.get("K_step_infer", hp.get("K_step", 1000)),
+            # reference acoustic_exporter.py:149-152: acceleration (steps) and
+            # depth are continuous runtime inputs of the exported graphs;
+            # max_depth is the deepest usable shallow depth as a fraction.
+            "use_continuous_acceleration": True,
+            "use_variable_depth": hp.get("use_shallow_diffusion", False),
+            "sampling_steps": hp.get("sampling_steps", 20),
+            "max_depth": (
+                min(hp.get("K_step_infer", hp.get("K_step", 1000)), hp.get("K_step", 1000))
+                / hp.get("timesteps", 1000)
+                if hp.get("diffusion_type", "ddpm") == "ddpm"
+                else 1.0 - float(hp.get("T_start_infer", hp.get("T_start", 0.4)))
+            ),
             "speakers": sorted(self.infer.spk_map) if self.infer.spk_map else [],
             "buckets": self.bucket_files,
         }
@@ -255,10 +286,16 @@ class DiffSingerVarianceExporter(BaseExporter):
             )
             return enc, dur
 
-        def pitch_view(params, rng, tokens, midi, ph2word, ph_dur, mel2ph, base_pitch):
+        # `steps` is a *runtime* input of the sampling views, matching the
+        # reference's pitch/variance predictor ONNX (variance_exporter.py:
+        # 424-429, 571-576: 'steps' input on both).
+        steps0 = jnp.int32(hp.get("sampling_steps", 20))
+
+        def pitch_view(params, rng, tokens, midi, ph2word, ph_dur, mel2ph,
+                       base_pitch, steps):
             dur_pred, pitch_pred, _ = model.forward_infer(
                 params, rng, tokens, midi, ph2word, base_pitch,
-                ph_dur=ph_dur, mel2ph=mel2ph, predict_variances=False,
+                ph_dur=ph_dur, mel2ph=mel2ph, predict_variances=False, steps=steps,
             )
             return pitch_pred
 
@@ -267,20 +304,20 @@ class DiffSingerVarianceExporter(BaseExporter):
         def linguistic_onnx(tokens, midi, ph2word, word_dur):
             return linguistic_dur(self.params, tokens, midi, ph2word, word_dur)
 
-        def pitch_onnx(tokens, midi, ph2word, ph_dur, mel2ph, base_pitch, noise):
+        def pitch_onnx(tokens, midi, ph2word, ph_dur, mel2ph, base_pitch, steps, noise):
             _, pitch_pred, _ = model.forward_infer(
                 self.params, key, tokens, midi, ph2word, base_pitch,
                 ph_dur=ph_dur, mel2ph=mel2ph, predict_variances=False,
-                noise_pitch=noise,
+                steps=steps, noise_pitch=noise,
             )
             return pitch_pred
 
         def variance_onnx(tokens, midi, ph2word, ph_dur, mel2ph, base_pitch,
-                          pitch, noise):
+                          pitch, steps, noise):
             _, _, var_pred = model.forward_infer(
                 self.params, key, tokens, midi, ph2word, base_pitch,
                 ph_dur=ph_dur, mel2ph=mel2ph, pitch=pitch, predict_pitch=False,
-                noise_variances=noise,
+                steps=steps, noise_variances=noise,
             )
             return tuple(var_pred[v] for v in model.var_list)
 
@@ -303,7 +340,7 @@ class DiffSingerVarianceExporter(BaseExporter):
                     self._serialize(
                         pitch_view,
                         (self.params, jax.random.PRNGKey(0), tokens, midi, ph2word, ph_dur,
-                         mel2ph, base_pitch),
+                         mel2ph, base_pitch, steps0),
                         self.export_dir / files["pitch"],
                     )
             if self.want_onnx:
@@ -319,10 +356,10 @@ class DiffSingerVarianceExporter(BaseExporter):
                     files["pitch_onnx"] = f"{name}.pitch{suffix}.onnx"
                     self._serialize_onnx(
                         pitch_onnx,
-                        (tokens, midi, ph2word, ph_dur, mel2ph, base_pitch, noise),
+                        (tokens, midi, ph2word, ph_dur, mel2ph, base_pitch, steps0, noise),
                         self.export_dir / files["pitch_onnx"],
                         input_names=["tokens", "midi", "ph2word", "ph_dur",
-                                     "mel2ph", "base_pitch", "noise"],
+                                     "mel2ph", "base_pitch", "steps", "noise"],
                         output_names=["pitch_pred"], internal_noise=["noise"])
                 if model.var_list:
                     trb = hp["variances_prediction_args"]["total_repeat_bins"]
@@ -331,10 +368,11 @@ class DiffSingerVarianceExporter(BaseExporter):
                     files["variance_onnx"] = f"{name}.variance{suffix}.onnx"
                     self._serialize_onnx(
                         variance_onnx,
-                        (tokens, midi, ph2word, ph_dur, mel2ph, base_pitch, pitch, noise),
+                        (tokens, midi, ph2word, ph_dur, mel2ph, base_pitch, pitch,
+                         steps0, noise),
                         self.export_dir / files["variance_onnx"],
                         input_names=["tokens", "midi", "ph2word", "ph_dur",
-                                     "mel2ph", "base_pitch", "pitch", "noise"],
+                                     "mel2ph", "base_pitch", "pitch", "steps", "noise"],
                         output_names=[f"{v}_pred" for v in model.var_list],
                         internal_noise=["noise"])
             self.bucket_files[f"{t_ph}x{t_mel}"] = files
@@ -351,6 +389,9 @@ class DiffSingerVarianceExporter(BaseExporter):
             "hidden_size": hp["hidden_size"],
             "predict_dur": hp["predict_dur"],
             "predict_pitch": hp["predict_pitch"],
+            # steps is a runtime input of the pitch/variance sampling graphs
+            "use_continuous_acceleration": True,
+            "sampling_steps": hp.get("sampling_steps", 20),
             "sample_rate": hp["audio_sample_rate"],
             "hop_size": hp["hop_size"],
             "speakers": sorted(self.infer.spk_map) if self.infer.spk_map else [],

@@ -171,6 +171,16 @@ class GraphBuilder:
         ]
         self.nodes = prelude + self.nodes
 
+    def internalize_constant(self, name: str, value):
+        """Replace graph input `name` with a baked initializer — used to drop
+        a traced-but-fixed scalar (e.g. `depth` on non-shallow acoustic
+        models) so the public signature matches the reference's ONNX."""
+        spec = next(s for s in self.input_specs if s[0] == name)
+        idx = self.input_specs.index(spec)
+        del self.inputs[idx]
+        del self.input_specs[idx]
+        self.add_initializer(name, np.asarray(value, spec[1]))
+
     def add_output(self, name: str, dtype: np.dtype, shape: Sequence[Optional[int]]):
         self.outputs.append(value_info(name, NP_TO_DT[np.dtype(dtype)], shape))
 

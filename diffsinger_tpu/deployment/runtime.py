@@ -85,11 +85,20 @@ class AcousticArtifactRuntime:
         return self._loaded[filename]
 
     def synthesize_mel(self, tokens: np.ndarray, mel2ph: np.ndarray, f0: np.ndarray,
-                       seed: int = 0) -> np.ndarray:
+                       seed: int = 0, depth: Optional[float] = None,
+                       steps: Optional[int] = None) -> np.ndarray:
         """tokens [1, T_txt] int32; mel2ph [1, T_mel] int32; f0 [1, T_mel]
-        float32 -> mel [1, T_mel, M] float32 (trimmed to the input length)."""
+        float32 -> mel [1, T_mel, M] float32 (trimmed to the input length).
+
+        ``depth``/``steps`` are runtime inputs of the exported sampler
+        (the reference's deployed ONNX contract) — defaulting to the
+        manifest's ``max_depth`` and ``sampling_steps``."""
         import jax
 
+        if depth is None:
+            depth = float(self.manifest.get("max_depth", 1.0))
+        if steps is None:
+            steps = int(self.manifest.get("sampling_steps", 20))
         t_txt, t_mel = tokens.shape[1], mel2ph.shape[1]
         bt, bm, files = self._pick_bucket(t_txt, t_mel)
         exp = self._artifact(files["acoustic"])
@@ -99,6 +108,8 @@ class AcousticArtifactRuntime:
             _pad_axis1(np.asarray(tokens, np.int32), bt),
             _pad_axis1(np.asarray(mel2ph, np.int32), bm),
             _pad_axis1(np.asarray(f0, np.float32), bm, value=220.0),
+            np.float32(depth),
+            np.int32(steps),
         )
         return np.asarray(out)[:, :t_mel]
 

@@ -15,6 +15,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 from flax.core import FrozenDict
 
@@ -261,6 +262,56 @@ class DiffSingerAcoustic:
                     use_shallow_diffusion=self.use_shallow_diffusion,
                     noise=noise,
                 )
+        mel = self.spec_transform.denorm(x) * frame_mask
+        return ShallowDiffusionOutput(aux_out=aux_mel, diff_out=mel)
+
+    def forward_infer_dynamic(
+        self, params, rng: Optional[jax.Array], txt_tokens, mel2ph, f0,
+        *, depth, steps, noise: Optional[jnp.ndarray] = None, **kwargs,
+    ) -> ShallowDiffusionOutput:
+        """Deployment-contract inference: ``depth`` (f32 scalar) and ``steps``
+        (i32 scalar) are runtime tensors, so one exported graph serves every
+        depth/steps combination — the reference's deployed ONNX contract
+        (deployment/modules/toplevel.py:83-102, rectified_flow.py:37-69,
+        diffusion.py:107-155). ``noise`` overrides the PRNG draw (RNG-free
+        ONNX export); otherwise ``rng`` is required."""
+        hp = self.hp
+        cond = self.module.apply(params, txt_tokens, mel2ph, f0, method="encode", **kwargs)
+        frame_mask = (mel2ph > 0).astype(jnp.float32)[:, :, None]
+
+        aux_mel = None
+        src_spec = None
+        if self.use_shallow_diffusion:
+            aux_mel = self.module.apply(params, cond, infer=True, method="aux") * frame_mask
+            src_spec = self.spec_transform.norm(aux_mel)
+
+        if noise is None:
+            noise = jax.random.normal(
+                rng, cond.shape[:2] + (self.out_dims,), jnp.float32
+            )
+
+        cond_projs = precompute_cond_projections(
+            params["params"]["denoiser"], cond, dtype=self.module.dtype
+        )
+
+        def denoise(x, t):
+            return self.module.apply(
+                params, x, t, cond, cond_proj=cond_projs, method="denoise"
+            )
+
+        if self.diffusion_type == "ddpm":
+            x = ddpm_core.inference_dynamic(
+                denoise, self.schedule, noise, depth=depth, steps=steps,
+                k_step=self.k_step,
+                x_start=src_spec if self.use_shallow_diffusion else None,
+            )
+        else:
+            x = reflow_core.inference_dynamic(
+                denoise, noise, depth=depth, steps=steps,
+                t_start_min=self.t_start,
+                time_scale_factor=self.time_scale_factor,
+                x_end=src_spec if self.use_shallow_diffusion else None,
+            )
         mel = self.spec_transform.denorm(x) * frame_mask
         return ShallowDiffusionOutput(aux_out=aux_mel, diff_out=mel)
 
@@ -665,8 +716,26 @@ class DiffSingerVariance:
 
     def _infer_core(self, denoise_fn, shape_like, rng, steps, noise=None):
         """Sample a flat [B, T, D] tensor with the configured core. ``noise``
-        overrides the PRNG draw (regression testing / RNG-free export)."""
+        overrides the PRNG draw (regression testing / RNG-free export).
+
+        ``steps`` may be a *traced* scalar (jnp int32) instead of a Python int:
+        that selects the deployment-contract dynamic samplers, so exported
+        graphs accept the reference's runtime ``steps`` input
+        (deployment/modules/{diffusion,rectified_flow}.py — pitch/variance
+        predictors sample from pure noise with a runtime step count)."""
         hp = self.hp
+        if steps is not None and not isinstance(steps, (int, np.integer)):
+            if noise is None:
+                noise = jax.random.normal(rng, shape_like.shape, jnp.float32)
+            if self.diffusion_type == "ddpm":
+                return ddpm_core.inference_dynamic(
+                    denoise_fn, self.schedule, noise,
+                    depth=jnp.float32(1.0), steps=steps, k_step=self.k_step,
+                )
+            return reflow_core.inference_dynamic(
+                denoise_fn, noise, depth=jnp.float32(1.0), steps=steps,
+                t_start_min=0.0, time_scale_factor=self.time_scale_factor,
+            )
         if self.diffusion_type == "ddpm":
             return ddpm_core.inference(
                 denoise_fn, self.schedule, shape_like,

@@ -58,9 +58,12 @@ def test_acoustic_export_roundtrip(tmp_path):
     mel2ph = jnp.zeros((1, 512), jnp.int32).at[0, :500].set(jnp.repeat(jnp.arange(1, 11), 50))
     f0 = jnp.full((1, 512), 220.0, jnp.float32)
     rng = jax.random.PRNGKey(7)
-    mel_exported = exp.call(exporter.params, rng, tokens, mel2ph, f0)
-    mel_live = exporter.model.forward_infer(
-        exporter.params, rng, tokens, mel2ph, f0, steps=hp["sampling_steps"]
+    # depth/steps are runtime inputs of the exported sampler
+    depth = jnp.float32(1.0 - hp.get("T_start", 0.4))
+    steps = jnp.int32(hp["sampling_steps"])
+    mel_exported = exp.call(exporter.params, rng, tokens, mel2ph, f0, depth, steps)
+    mel_live = exporter.model.forward_infer_dynamic(
+        exporter.params, rng, tokens, mel2ph, f0, depth=depth, steps=steps
     ).diff_out
     np.testing.assert_allclose(np.asarray(mel_exported), np.asarray(mel_live),
                                atol=1e-4, rtol=1e-4)
@@ -146,7 +149,8 @@ def test_acoustic_export_bucket_set(tmp_path):
         tokens = jnp.zeros((1, t_txt), jnp.int32).at[0, :4].set(jnp.arange(1, 5))
         mel2ph = jnp.zeros((1, t_mel), jnp.int32).at[0, :100].set(1)
         f0 = jnp.full((1, t_mel), 220.0, jnp.float32)
-        mel = exp.call(exporter.params, jax.random.PRNGKey(3), tokens, mel2ph, f0)
+        mel = exp.call(exporter.params, jax.random.PRNGKey(3), tokens, mel2ph, f0,
+                       jnp.float32(1.0), jnp.int32(2))
         assert mel.shape == (1, t_mel, 16)
         assert bool(jnp.isfinite(mel).all())
 
@@ -204,7 +208,9 @@ def test_artifact_runtime_bucket_dispatch(tmp_path):
     tok_p = np.zeros((1, 16), np.int32); tok_p[:, :10] = tokens
     m2p_p = np.zeros((1, 128), np.int32); m2p_p[:, :100] = mel2ph
     f0_p = np.full((1, 128), 220.0, np.float32); f0_p[:, :100] = f0
-    golden = exp.call(exporter.params, jax.random.PRNGKey(5), tok_p, m2p_p, f0_p)
+    golden = exp.call(exporter.params, jax.random.PRNGKey(5), tok_p, m2p_p, f0_p,
+                      jnp.float32(manifest["max_depth"]),
+                      jnp.int32(manifest["sampling_steps"]))
     np.testing.assert_allclose(mel, np.asarray(golden)[:, :100], atol=1e-5)
 
     # too-long inputs are rejected with the available buckets listed

@@ -140,10 +140,25 @@ def test_vocoder_onnx_parity():
            label="vocoder_folded")
 
 
+def _perturb(params, scale=0.05, seed=7):
+    """Add deterministic noise to every float leaf (fresh inits zero the
+    denoiser output conv, making samples step-count-invariant)."""
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(leaves))
+    leaves = [
+        l + scale * jax.random.normal(k, l.shape, l.dtype)
+        if jnp.issubdtype(l.dtype, jnp.floating) else l
+        for l, k in zip(leaves, keys)
+    ]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def test_acoustic_exporter_onnx(tmp_path):
     """Exporter fmt='onnx' emits acoustic + fs2_aux graphs whose internalized
     noise (RandomNormalLike prelude) leaves signature parity with the
-    reference's ONNX: inputs (tokens, mel2ph, f0) only."""
+    reference's ONNX: (tokens, mel2ph, f0, steps) for a non-shallow model —
+    `steps` is a runtime input (reference acoustic_exporter.py:256-311) and
+    `depth` is baked as a constant since the model is not shallow."""
     from tests.test_e2e_infer import TINY_COMMON, _make_exp
 
     hp = _make_exp(
@@ -162,7 +177,9 @@ def test_acoustic_exporter_onnx(tmp_path):
 
     vocab = len(load_phoneme_dictionary(hp))
     model = DiffSingerAcoustic(hp, vocab_size=vocab, out_dims=16)
-    params = model.init(jax.random.PRNGKey(0))
+    # fresh init zero-inits the denoiser's output conv (velocity == 0, sample
+    # == noise for any step count) — perturb so step count actually matters
+    params = _perturb(model.init(jax.random.PRNGKey(0)))
     save_checkpoint(checkpoint_path(hp["work_dir"], 100), params,
                     category="acoustic", global_step=100)
 
@@ -180,31 +197,219 @@ def test_acoustic_exporter_onnx(tmp_path):
     assert not list(out_dir.glob("*.stablehlo"))
 
     g = parse_model(ac_path.read_bytes())
-    # reference-parity signature: noise is drawn inside the graph
-    assert g.inputs == ["tokens", "mel2ph", "f0"]
+    # reference-parity signature: noise is drawn inside the graph; `depth`
+    # is baked (non-shallow) and `steps` stays a runtime input
+    assert g.inputs == ["tokens", "mel2ph", "f0", "steps"]
     assert any(n.op_type == "RandomNormalLike" for n in g.nodes)
 
     tokens = np.zeros((1, 16), np.int32); tokens[0, :4] = np.arange(1, 5)
     mel2ph = np.zeros((1, 64), np.int32); mel2ph[0, :40] = np.repeat(np.arange(1, 5), 10)
     f0 = np.full((1, 64), 220.0, np.float32)
     (mel,) = run_model(ac_path.read_bytes(),
-                       {"tokens": tokens, "mel2ph": mel2ph, "f0": f0}, rng_seed=3)
+                       {"tokens": tokens, "mel2ph": mel2ph, "f0": f0,
+                        "steps": np.int32(2)}, rng_seed=3)
     assert mel.shape == (1, 64, 16)
     assert np.isfinite(mel).all()
 
-    # deterministic parity via the lowering directly (noise as input)
-    key = jax.random.PRNGKey(0)
-    steps = hp["sampling_steps"]
+    # runtime `steps` actually changes the sample path in the emitted graph
+    (mel5,) = run_model(ac_path.read_bytes(),
+                        {"tokens": tokens, "mel2ph": mel2ph, "f0": f0,
+                         "steps": np.int32(5)}, rng_seed=3)
+    assert not np.allclose(mel, mel5)
 
-    def sampler(tokens, mel2ph, f0, noise):
-        return model.forward_infer(params, key, tokens, mel2ph, f0,
-                                   steps=steps, noise=noise).diff_out
+    # deterministic steps-sweep parity via the lowering directly
+    # (noise as explicit input): one exported graph, many step counts
+    def sampler(tokens, mel2ph, f0, steps, noise):
+        return model.forward_infer_dynamic(
+            params, None, tokens, mel2ph, f0,
+            depth=jnp.float32(1.0), steps=steps, noise=noise).diff_out
 
     nz = jnp.asarray(np.random.default_rng(0).standard_normal((1, 64, 16)), jnp.float32)
     data = export_onnx(sampler, (jnp.asarray(tokens), jnp.asarray(mel2ph),
-                                 jnp.asarray(f0), nz), None,
-                       name="ac", input_names=["tokens", "mel2ph", "f0", "noise"])
-    (got,) = run_model(data, {"tokens": tokens, "mel2ph": mel2ph, "f0": f0,
-                              "noise": np.asarray(nz)})
-    want = sampler(jnp.asarray(tokens), jnp.asarray(mel2ph), jnp.asarray(f0), nz)
-    np.testing.assert_allclose(got, np.asarray(want), atol=2e-4, rtol=1e-4)
+                                 jnp.asarray(f0), jnp.int32(2), nz), None,
+                       name="ac",
+                       input_names=["tokens", "mel2ph", "f0", "steps", "noise"])
+    for steps in (2, 5, 10):
+        (got,) = run_model(data, {"tokens": tokens, "mel2ph": mel2ph, "f0": f0,
+                                  "steps": np.int32(steps), "noise": np.asarray(nz)})
+        want = sampler(jnp.asarray(tokens), jnp.asarray(mel2ph), jnp.asarray(f0),
+                       jnp.int32(steps), nz)
+        np.testing.assert_allclose(got, np.asarray(want), atol=2e-4, rtol=1e-4)
+
+
+def test_acoustic_exporter_onnx_shallow_depth_sweep(tmp_path):
+    """Shallow-diffusion export keeps `depth` as a public runtime input
+    (reference acoustic_exporter.py:305-308); the same exported bytes are
+    swept over 3+ depths and checked against JAX forward_infer_dynamic."""
+    from tests.test_e2e_infer import TINY_COMMON, _make_exp
+
+    hp = _make_exp(
+        tmp_path, str(pathlib.Path(__file__).resolve().parents[1] / "configs" / "acoustic.yaml"),
+        dict(TINY_COMMON, audio_num_mel_bins=16,
+             backbone_args=dict(num_channels=32, num_layers=1, kernel_size=7,
+                                dropout_rate=0.0, strong_cond=True),
+             use_shallow_diffusion=True,
+             K_step=400, K_step_infer=400,
+             shallow_diffusion_args=dict(
+                 train_aux_decoder=True, train_diffusion=True, val_gt_start=False,
+                 aux_decoder_arch="convnext",
+                 aux_decoder_args=dict(num_channels=16, num_layers=1, kernel_size=7,
+                                       dropout_rate=0.1),
+                 aux_decoder_grad=0.1)),
+        "tiny_onnx_shallow",
+    )
+    hp["infer"] = True
+
+    from diffsinger_tpu.models.toplevel import DiffSingerAcoustic
+    from diffsinger_tpu.utils.ckpt import checkpoint_path, save_checkpoint
+    from diffsinger_tpu.utils.text import load_phoneme_dictionary
+
+    vocab = len(load_phoneme_dictionary(hp))
+    model = DiffSingerAcoustic(hp, vocab_size=vocab, out_dims=16)
+    params = _perturb(model.init(jax.random.PRNGKey(0)))
+    save_checkpoint(checkpoint_path(hp["work_dir"], 100), params,
+                    category="acoustic", global_step=100)
+
+    from diffsinger_tpu.deployment.exporters import DiffSingerAcousticExporter
+
+    out_dir = tmp_path / "onnx_artifacts"
+    exporter = DiffSingerAcousticExporter(hp, out_dir, buckets=[(16, 64)], fmt="onnx")
+    exporter.export()
+
+    import yaml
+    with open(out_dir / "dsconfig.yaml") as f:
+        manifest = yaml.safe_load(f)
+    assert manifest["use_shallow_diffusion"] is True
+    assert manifest["use_variable_depth"] is True
+    assert manifest["use_continuous_acceleration"] is True
+    # reflow: max_depth = 1 - T_start (reference acoustic_exporter.py:149-152)
+    assert manifest["max_depth"] == pytest.approx(1.0 - hp.get("T_start", 0.4))
+    ac_path = out_dir / manifest["buckets"]["16x64"]["acoustic_onnx"]
+
+    g = parse_model(ac_path.read_bytes())
+    assert g.inputs == ["tokens", "mel2ph", "f0", "depth", "steps"]
+
+    tokens = np.zeros((1, 16), np.int32); tokens[0, :4] = np.arange(1, 5)
+    mel2ph = np.zeros((1, 64), np.int32); mel2ph[0, :40] = np.repeat(np.arange(1, 5), 10)
+    f0 = np.full((1, 64), 220.0, np.float32)
+
+    def sampler(depth, steps, noise):
+        return model.forward_infer_dynamic(
+            params, None, jnp.asarray(tokens), jnp.asarray(mel2ph),
+            jnp.asarray(f0), depth=depth, steps=steps, noise=noise).diff_out
+
+    nz = jnp.asarray(np.random.default_rng(0).standard_normal((1, 64, 16)), jnp.float32)
+    data = export_onnx(
+        lambda t, m, f, d, s, n: model.forward_infer_dynamic(
+            params, None, t, m, f, depth=d, steps=s, noise=n).diff_out,
+        (jnp.asarray(tokens), jnp.asarray(mel2ph), jnp.asarray(f0),
+         jnp.float32(0.4), jnp.int32(4), nz), None,
+        name="ac_shallow",
+        input_names=["tokens", "mel2ph", "f0", "depth", "steps", "noise"])
+    outs = []
+    for depth in (0.1, 0.25, 0.4):
+        (got,) = run_model(data, {"tokens": tokens, "mel2ph": mel2ph, "f0": f0,
+                                  "depth": np.float32(depth), "steps": np.int32(4),
+                                  "noise": np.asarray(nz)})
+        want = sampler(jnp.float32(depth), jnp.int32(4), nz)
+        np.testing.assert_allclose(got, np.asarray(want), atol=2e-4, rtol=1e-4)
+        outs.append(got)
+    assert not np.allclose(outs[0], outs[2])  # depth genuinely routes
+
+
+def test_variance_exporter_onnx_steps_sweep(tmp_path):
+    """Variance exporter fmt='onnx': pitch/variance graphs keep `steps` as a
+    runtime input (reference variance_exporter.py:424-429, 571-576) with
+    noise internalized; one exported graph is swept over step counts and the
+    direct lowering is checked against JAX for each."""
+    from tests.test_e2e_infer import TINY_COMMON, _make_exp
+
+    hp = _make_exp(
+        tmp_path, str(pathlib.Path(__file__).resolve().parents[1] / "configs" / "variance.yaml"),
+        dict(
+            TINY_COMMON,
+            predict_energy=True,
+            dur_prediction_args=dict(
+                arch="fs2", hidden_size=32, dropout=0.1, num_layers=2, kernel_size=3,
+                log_offset=1.0, loss_type="mse",
+                lambda_pdur_loss=0.3, lambda_wdur_loss=1.0, lambda_sdur_loss=3.0,
+            ),
+            pitch_prediction_args=dict(
+                pitd_norm_min=-8.0, pitd_norm_max=8.0, pitd_clip_min=-12.0, pitd_clip_max=12.0,
+                repeat_bins=8, backbone_type="wavenet",
+                backbone_args=dict(num_layers=2, num_channels=16, dilation_cycle_length=2),
+            ),
+            variances_prediction_args=dict(
+                total_repeat_bins=8, backbone_type="wavenet",
+                backbone_args=dict(num_layers=2, num_channels=16, dilation_cycle_length=2),
+            ),
+        ),
+        "tiny_var_onnx",
+    )
+    hp["infer"] = True
+
+    from diffsinger_tpu.models.toplevel import DiffSingerVariance
+    from diffsinger_tpu.utils.ckpt import checkpoint_path, save_checkpoint
+    from diffsinger_tpu.utils.text import load_phoneme_dictionary
+
+    vocab = len(load_phoneme_dictionary(hp))
+    model = DiffSingerVariance(hp, vocab_size=vocab)
+    params = _perturb(model.init(jax.random.PRNGKey(0)))
+    save_checkpoint(checkpoint_path(hp["work_dir"], 100), params,
+                    category="variance", global_step=100)
+
+    from diffsinger_tpu.deployment.exporters import DiffSingerVarianceExporter
+
+    out_dir = tmp_path / "onnx_artifacts"
+    exporter = DiffSingerVarianceExporter(hp, out_dir, buckets=[(16, 64)], fmt="onnx")
+    exporter.export()
+
+    import yaml
+    with open(out_dir / "dsconfig.yaml") as f:
+        manifest = yaml.safe_load(f)
+    assert manifest["use_continuous_acceleration"] is True
+    assert manifest["sampling_steps"] == hp["sampling_steps"]
+    files = manifest["buckets"]["16x64"]
+
+    tokens = np.zeros((1, 16), np.int32); tokens[0, :4] = np.arange(1, 5)
+    midi = np.full((1, 16), 60, np.int32)
+    ph2word = np.zeros((1, 16), np.int32); ph2word[0, :4] = np.array([1, 1, 2, 2])
+    ph_dur = np.full((1, 16), 4.0, np.float32)
+    mel2ph = np.zeros((1, 64), np.int32); mel2ph[0, :16] = np.repeat(np.arange(1, 5), 4)
+    base_pitch = np.full((1, 64), 60.0, np.float32)
+    feed = {"tokens": tokens, "midi": midi, "ph2word": ph2word,
+            "ph_dur": ph_dur, "mel2ph": mel2ph, "base_pitch": base_pitch}
+
+    pitch_bytes = (out_dir / files["pitch_onnx"]).read_bytes()
+    g = parse_model(pitch_bytes)
+    assert g.inputs == ["tokens", "midi", "ph2word", "ph_dur", "mel2ph",
+                        "base_pitch", "steps"]
+    (p2,) = run_model(pitch_bytes, dict(feed, steps=np.int32(2)), rng_seed=5)
+    (p5,) = run_model(pitch_bytes, dict(feed, steps=np.int32(5)), rng_seed=5)
+    assert np.isfinite(p2).all() and not np.allclose(p2, p5)
+
+    var_bytes = (out_dir / files["variance_onnx"]).read_bytes()
+    g = parse_model(var_bytes)
+    assert g.inputs == ["tokens", "midi", "ph2word", "ph_dur", "mel2ph",
+                        "base_pitch", "pitch", "steps"]
+
+    # deterministic steps-sweep parity via the lowering (noise as input)
+    nz = jnp.asarray(np.random.default_rng(0).standard_normal((1, 64, 8)), jnp.float32)
+
+    def pitch_fn(tokens, midi, ph2word, ph_dur, mel2ph, base_pitch, steps, noise):
+        _, pitch_pred, _ = model.forward_infer(
+            params, jax.random.PRNGKey(0), tokens, midi, ph2word, base_pitch,
+            ph_dur=ph_dur, mel2ph=mel2ph, predict_variances=False,
+            steps=steps, noise_pitch=noise)
+        return pitch_pred
+
+    args = (jnp.asarray(tokens), jnp.asarray(midi), jnp.asarray(ph2word),
+            jnp.asarray(ph_dur), jnp.asarray(mel2ph), jnp.asarray(base_pitch),
+            jnp.int32(2), nz)
+    data = export_onnx(pitch_fn, args, None, name="var_pitch",
+                       input_names=["tokens", "midi", "ph2word", "ph_dur",
+                                    "mel2ph", "base_pitch", "steps", "noise"])
+    for steps in (2, 5, 9):
+        (got,) = run_model(data, dict(feed, steps=np.int32(steps), noise=np.asarray(nz)))
+        want = pitch_fn(*args[:6], jnp.int32(steps), nz)
+        np.testing.assert_allclose(got, np.asarray(want), atol=2e-4, rtol=1e-4)
