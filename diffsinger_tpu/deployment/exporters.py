@@ -84,7 +84,15 @@ class BaseExporter:
             gb.internalize_noise(noise_name)
         for const_name, value in (internal_constants or {}).items():
             gb.internalize_constant(const_name, value)
-        path.write_bytes(gb.model_bytes())
+        data = gb.model_bytes()
+        # export-time validation with the independent structural checker —
+        # the stand-in for the reference's onnx.checker/onnxruntime pass
+        # (acoustic_exporter.py:104-113); checker.py shares no code with
+        # the emitter.
+        from diffsinger_tpu.deployment.onnx.checker import check_model
+        from diffsinger_tpu.deployment.onnx.lowering import EMITTED_OPS
+        check_model(data, known_ops=EMITTED_OPS)
+        path.write_bytes(data)
         print(f"| export: {path} ({path.stat().st_size / 1e6:.2f} MB)")
 
     def _export_dictionaries(self):

@@ -121,8 +121,13 @@ def value_info(name: str, elem_type: int, shape: Sequence[Optional[int]]) -> byt
 class GraphBuilder:
     """Accumulates nodes/initializers/io for one GraphProto."""
 
-    def __init__(self, name: str):
+    def __init__(self, name: str, prefix: str = ""):
         self.name = name
+        # Subgraphs (Loop/If bodies) get a unique `prefix` so their value
+        # names cannot shadow outer-scope names — the ONNX IR spec requires
+        # SSA across the whole lexical scope chain (onnx.checker rejects
+        # subgraph names that redefine outer ones).
+        self.prefix = prefix
         self.nodes: List[bytes] = []
         self.initializers: List[bytes] = []
         self.inputs: List[bytes] = []
@@ -132,7 +137,7 @@ class GraphBuilder:
 
     def fresh(self, hint: str = "t") -> str:
         self._counter += 1
-        return f"{hint}_{self._counter}"
+        return f"{self.prefix}{hint}_{self._counter}"
 
     def add_node(self, op_type: str, inputs: Sequence[str], n_out: int = 1,
                  outputs: Optional[Sequence[str]] = None, **attrs) -> List[str]:

@@ -597,7 +597,8 @@ def _scan(ctx, eqn, ins):
     xs = ins[n_consts + n_carry:]
     gb = ctx.gb
 
-    body = GraphBuilder(gb.fresh("scan_body"))
+    body_name = gb.fresh("scan_body")
+    body = GraphBuilder(body_name, prefix=body_name + "/")
     bctx = Ctx(body, parent=ctx)
     it_name = body.fresh("iter")
     cond_in = body.fresh("cond_in")
@@ -660,7 +661,8 @@ def _while(ctx, eqn, ins):
         lower_eqns(bctx, jaxpr.eqns)
         return bctx.read(jaxpr.outvars[0])
 
-    body = GraphBuilder(gb.fresh("while_body"))
+    body_name = gb.fresh("while_body")
+    body = GraphBuilder(body_name, prefix=body_name + "/")
     bctx = Ctx(body, parent=ctx)
     it = body.fresh("iter")
     cin = body.fresh("cond_in")
@@ -706,7 +708,8 @@ def _cond(ctx, eqn, ins):
         pred = gb.add_node("Cast", [pred], to=NP_TO_DT[np.dtype(np.bool_)])[0]
 
     def make_branch(closed, tag):
-        sub = GraphBuilder(gb.fresh(f"{tag}_branch"))
+        sub_name = gb.fresh(f"{tag}_branch")
+        sub = GraphBuilder(sub_name, prefix=sub_name + "/")
         sctx = Ctx(sub, parent=ctx)
         jaxpr = closed.jaxpr
         for cv, cval in zip(jaxpr.constvars, closed.consts):
@@ -812,6 +815,33 @@ def lower(
         out = gb.add_node("Identity", [ctx.read(v)], outputs=[oname])[0]
         gb.add_output(out, v.aval.dtype, v.aval.shape)
     return gb
+
+
+# The complete set of opset-17 op types this emitter can produce — the
+# audit surface documented per-op in docs/onnx_ops.md (a test asserts the
+# doc and this set stay in sync, and the structural checker rejects any
+# emission outside it). Derived from the handler tables above plus the
+# literal emissions in the handlers, internalize_noise (builder.py), and
+# the Identity output aliasing in lower().
+EMITTED_OPS = frozenset(
+    set(_SIMPLE.values()) | set(_CMP.values()) | set(_REDUCE.values()) | {
+        # comparisons / logic helpers
+        "Not",
+        # elementwise compositions (_atan2, _rsqrt, _clamp, _rem, ...)
+        "Atan", "Reciprocal", "Clip", "Mod", "Where",
+        # dtype/shape plumbing
+        "Cast", "Identity", "Reshape", "Transpose", "Expand", "Pad",
+        "Slice", "Split", "Concat", "Gather", "ScatterND",
+        # reductions / scans
+        "ArgMax", "ArgMin", "CumSum",
+        # linear algebra / convolutions
+        "MatMul", "Conv", "ConvTranspose",
+        # control flow
+        "Loop", "If",
+        # in-graph noise source (GraphBuilder.internalize_noise)
+        "ConstantOfShape", "RandomNormalLike",
+    }
+)
 
 
 def export_onnx(fn, example_args, path, *, name="model",

@@ -20,7 +20,13 @@ from diffsinger_tpu.deployment.onnx.builder import parse_model
 
 
 def _check(fn, args, names, tol=1e-5, label="m"):
+    from diffsinger_tpu.deployment.onnx.checker import check_model
+    from diffsinger_tpu.deployment.onnx.lowering import EMITTED_OPS
+
     data = export_onnx(fn, args, None, name=label, input_names=list(names))
+    # independent structural validation of every emission, restricted to
+    # the documented op set (docs/onnx_ops.md)
+    check_model(data, known_ops=EMITTED_OPS)
     got = run_model(data, dict(zip(names, [np.asarray(a) for a in args])))
     want = fn(*args)
     want = want if isinstance(want, (tuple, list)) else [want]
