@@ -64,6 +64,19 @@ class AcousticBinarizer(BaseBinarizer):
         )
         self.pe = initialize_pe(hp)
 
+    def feature_provenance(self) -> dict:
+        from diffsinger_tpu.dsp.d4c import ALGO_VERSION as D4C_VERSION
+
+        hp = self.hparams
+        info = super().feature_provenance()
+        info["pe"] = self.pe.provenance()
+        if any(self.need.get(v) for v in ("breathiness", "voicing", "tension")):
+            algo = hp.get("hnsep", "comb")
+            info["hnsep"] = (
+                f"native-world(d4c-v{D4C_VERSION})" if algo == "world" else algo
+            )
+        return info
+
     def load_meta_data(self, raw_data_dir: pathlib.Path, ds_id, spk, lang):
         meta = {}
         with open(raw_data_dir / "transcriptions.csv", "r", encoding="utf-8") as f:

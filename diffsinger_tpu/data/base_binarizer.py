@@ -302,6 +302,7 @@ class BaseBinarizer:
             extra_info.pop("names")
             extra_info.pop("ph_texts")
             extra_info.pop("spk_names")
+        extra_info["provenance"] = self.feature_provenance()
         with open(self.binary_data_dir / f"{prefix}.meta", "wb") as f:
             pickle.dump(extra_info, f)
         total = sum(total_raw_sec.values())
@@ -310,6 +311,18 @@ class BaseBinarizer:
             aug_total = sum(total_sec.values())
             print(f"| {prefix} total duration (after augmentation): "
                   f"{aug_total:.2f}s ({aug_total / max(total, 1e-9):.2f}x)")
+
+    def feature_provenance(self) -> dict:
+        """Extractor names+versions recorded into the ``.meta`` so a dataset's
+        feature lineage is machine-checkable (the reference binarizes through
+        pyworld C++; native re-extraction is close but not bit-identical —
+        tolerances documented in tests/test_world_goldens.py)."""
+        from diffsinger_tpu import __version__
+
+        return {
+            "binarizer": type(self).__name__,
+            "framework": f"diffsinger_tpu {__version__}",
+        }
 
     def arrange_data_augmentation(self, data_iterator):
         raise NotImplementedError()

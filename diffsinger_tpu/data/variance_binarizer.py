@@ -76,6 +76,18 @@ class VarianceBinarizer(BaseBinarizer):
         self.cached_ds = {}
         self.pe = initialize_pe(hp)
 
+    def feature_provenance(self) -> dict:
+        from diffsinger_tpu.dsp.d4c import ALGO_VERSION as D4C_VERSION
+
+        info = super().feature_provenance()
+        info["pe"] = self.pe.provenance()
+        if any(v in self.var_list for v in ("breathiness", "voicing", "tension")):
+            algo = self.hparams.get("hnsep", "comb")
+            info["hnsep"] = (
+                f"native-world(d4c-v{D4C_VERSION})" if algo == "world" else algo
+            )
+        return info
+
     # ------------------------------------------------------------------
     def load_attr_from_ds(self, ds_id, name, attr, idx=0):
         """Read labels from .ds sidecars (variance_binarizer.py:88-110)."""

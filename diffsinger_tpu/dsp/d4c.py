@@ -32,6 +32,10 @@ from __future__ import annotations
 
 import numpy as np
 
+# Bumped whenever estimator behavior changes (recorded into binarized .meta
+# provenance so dataset feature compatibility is machine-checkable).
+ALGO_VERSION = 1
+
 K_FREQUENCY_INTERVAL = 3000.0
 K_UPPER_LIMIT = 15000.0
 K_THRESHOLD = 0.85

@@ -35,6 +35,12 @@ from __future__ import annotations
 
 import numpy as np
 
+# Bumped whenever estimator behavior changes (recorded into binarized .meta
+# provenance so dataset feature compatibility is machine-checkable). v2: WORLD
+# GetMeanF0 score normalization (mean deviation over number_of_harmonics,
+# measured against the candidate, a·k-weighted refined mean).
+ALGO_VERSION = 2
+
 TARGET_FS = 8000.0
 CHANNELS_IN_OCTAVE = 40.0
 FRAME_PERIOD_CANDIDATES_MS = 1.0
@@ -227,20 +233,21 @@ def _refine(x: np.ndarray, fs: float, positions: np.ndarray, f0s: np.ndarray,
         num = np.zeros(len(f0b))
         den = np.zeros(len(f0b))
         dev = np.zeros(len(f0b))
-        if_k = np.zeros((len(f0b), 6))
-        amp_k = np.zeros((len(f0b), 6))
         rows = np.arange(len(f0b))
+        # WORLD GetMeanF0: refined f0 is the amplitude-weighted mean with
+        # weights a·k (numerator sums a·IF, denominator a·k); the score is the
+        # *mean* relative deviation of IF/k from the unrefined candidate over
+        # all number_of_harmonics (leakage-dominated harmonics contribute one
+        # bounded term each instead of vetoing the candidate outright)
         for k in range(1, 7):
             idx = np.minimum(_round(f0b * k * fft_size / fs), power.shape[1] - 1)
             use = n_harm >= k
             a = np.sqrt(power[rows, idx]) * use
-            if_k[:, k - 1] = inst[rows, idx] / k
-            amp_k[:, k - 1] = a
-            num += if_k[:, k - 1] * a
-            den += a
+            num += inst[rows, idx] * a
+            den += a * k
+            dev += np.where(use, np.abs(inst[rows, idx] / k - f0b) / f0b, 0.0)
         r = num / (den + SAFE)
-        for k in range(6):
-            dev += np.abs(if_k[:, k] - r) / np.maximum(r, SAFE) * (amp_k[:, k] > 0)
+        dev = dev / np.maximum(n_harm, 1)
         s = 1.0 / (dev + SAFE)
         bad = (r < f0_floor) | (r > f0_ceil) | (s < REFINE_SCORE_MIN)
         r[bad] = 0.0

@@ -33,6 +33,13 @@ class BasePE:
                   speed=1, interp_uv=False):
         raise NotImplementedError()
 
+    def provenance(self) -> str:
+        """Extractor identity string recorded into binarized ``.meta`` so a
+        dataset's feature lineage is machine-checkable (pyworld-binarized and
+        native-binarized features are close but not bit-identical — see
+        tests/test_world_goldens.py for the documented tolerances)."""
+        return type(self).__name__
+
 
 _NEG = -1e9  # sentinel for "no candidate" (avoids inf-inf NaNs in the DP)
 
@@ -189,6 +196,9 @@ class AcfPE(BasePE):
         self.voicing_threshold = voicing_threshold
         self.very_accurate = very_accurate
 
+    def provenance(self) -> str:
+        return f"native-acf-viterbi(very_accurate={self.very_accurate})"
+
     def get_pitch(self, waveform, samplerate, length, *, hop_size, f0_min=65, f0_max=1100,
                   speed=1, interp_uv=False):
         hop = int(np.round(hop_size * speed))
@@ -231,6 +241,11 @@ class AcfPE(BasePE):
 class HarvestPE(BasePE):
     """Native Harvest extractor (reference modules/pe/pw.py:7-29 contract:
     pw.harvest at frame_period = 1000*hop/sr, pad/crop to `length`)."""
+
+    def provenance(self) -> str:
+        from diffsinger_tpu.dsp.harvest import ALGO_VERSION
+
+        return f"native-harvest-v{ALGO_VERSION}"
 
     def get_pitch(self, waveform, samplerate, length, *, hop_size, f0_min=65, f0_max=1100,
                   speed=1, interp_uv=False):

@@ -364,7 +364,13 @@ def convert_rmvpe(torch_state: dict, n_blocks=4, n_gru=1, en_de_layers=5, inter_
 
 
 class RMVPE(BasePE):
+    def provenance(self) -> str:
+        import pathlib
+
+        return f"rmvpe({pathlib.Path(self._model_path).name})"
+
     def __init__(self, model_path, hop_length: int = 160):
+        self._model_path = str(model_path)
         from diffsinger_tpu.dsp.mel import MelSpectrogram
         from diffsinger_tpu.utils.torch_convert import load_torch_file
 

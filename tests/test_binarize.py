@@ -83,6 +83,12 @@ def test_acoustic_binarize_and_dataset(corpus):
     with open(bdir / "train.meta", "rb") as f:
         meta = pickle.load(f)
     assert len(meta["lengths"]) >= 3  # 3 train items + augmented copies
+    # feature provenance is machine-checkable (VERDICT r2 #4 / advisor r1)
+    prov = meta["provenance"]
+    assert prov["binarizer"] == "AcousticBinarizer"
+    assert prov["pe"].startswith("native-acf-viterbi")
+    assert prov["hnsep"] == "comb"
+    assert "diffsinger_tpu" in prov["framework"]
 
     from diffsinger_tpu.data.dataset import AcousticDataset
 
