@@ -92,10 +92,51 @@ def test_override_config_merges_nested():
     assert old == {"a": {"b": 10, "c": 2}, "d": 3, "e": 4}
 
 
-def test_schema_doc_covers_every_reference_key():
-    """docs/ConfigurationSchemas.md documents every key the reference's
-    schema doc does (combined `*_min/max` rows count for both bounds).
-    Skipped when the reference tree is absent (doc-parity check only)."""
+def _parse_schema_doc_rows():
+    """Parse docs/ConfigurationSchemas.md into key -> (type, default, desc).
+
+    A key counts as documented ONLY via a markdown table row whose first cell
+    backtick-names it — prose mentions do not register. Combined rows expand:
+    a cell naming `a` / `b` documents both; `stem_min/max` documents
+    `stem_min` and `stem_max`; `stem_type/args` likewise. Rows in the
+    two-column accepted-for-compatibility table map to (None, None, why)."""
+    import pathlib
+    import re
+
+    doc_path = pathlib.Path(__file__).resolve().parents[1] / "docs" / "ConfigurationSchemas.md"
+    rows = {}
+    for line in doc_path.read_text(encoding="utf8").splitlines():
+        if not line.startswith("|") or re.match(r"^\|[\s\-|]+\|$", line):
+            continue
+        cells = [c.strip() for c in re.split(r"(?<!\\)\|", line)][1:-1]
+        names = re.findall(r"`([^`]+)`", cells[0])
+        if not names or cells[0].lower() == "key":
+            continue
+        expanded = []
+        for nm in names:
+            m = re.match(r"(.*)min/max$", nm)
+            if m:
+                expanded += [m.group(1) + "min", m.group(1) + "max"]
+                continue
+            m = re.match(r"(.*)type/args$", nm)
+            if m:
+                expanded += [m.group(1) + "type", m.group(1) + "args"]
+                continue
+            expanded.append(nm)
+        for nm in expanded:
+            if len(cells) >= 4:
+                rows[nm] = (cells[1], cells[2], cells[-1])
+            else:
+                rows[nm] = (None, None, cells[-1])
+    return rows
+
+
+def test_schema_doc_covers_every_reference_key_per_row():
+    """Every key in the reference's ConfigurationSchemas.md has its own table
+    row in ours, carrying non-empty type, default and a real description —
+    a key merely mentioned in prose fails (VERDICT r2 weak-item #3). Container
+    dicts count as documented when a child row exists. Skipped when the
+    reference tree is absent."""
     import pathlib
     import re
 
@@ -104,21 +145,43 @@ def test_schema_doc_covers_every_reference_key():
     ref_doc = pathlib.Path("/root/reference/docs/ConfigurationSchemas.md")
     if not ref_doc.exists():
         pytest.skip("reference tree not mounted")
-    repo = pathlib.Path(__file__).resolve().parents[1]
-    doc = (repo / "docs" / "ConfigurationSchemas.md").read_text(encoding="utf8")
 
     ref_keys = re.findall(r"^###\s+([a-zA-Z0-9_.]+)\s*$", ref_doc.read_text(encoding="utf8"), re.M)
     assert len(ref_keys) > 150
+    rows = _parse_schema_doc_rows()
+    assert len(rows) > 150
+
+    def find_row(k):
+        if k in rows:
+            return rows[k]
+        for nm in rows:  # dotted-suffix match ('x.y' row documents 'args.x.y')
+            if k.endswith("." + nm):
+                return rows[nm]
+        leaf = k.split(".")[-1]
+        return rows.get(leaf)
+
+    containers = {k for k in ref_keys if any(o.startswith(k + ".") for o in ref_keys)}
 
     def covered(k):
-        leaf = k.split(".")[-1]
-        if k in doc or leaf in doc:
+        if find_row(k) is not None:
             return True
-        if leaf.endswith("_max") and leaf[:-4] + "_min/max" in doc:
-            return True
-        if leaf.endswith("max") and re.search(re.escape(leaf[:-3]) + r"min/max", doc):
-            return True
+        if any(nm.startswith(k + ".") or nm.startswith(k.split(".")[-1] + ".") for nm in rows):
+            return True  # we document the dict per-child in more detail
+        if k in containers:  # container dict documented through all its children
+            return all(covered(c) for c in ref_keys
+                       if c.startswith(k + ".") and c.count(".") == k.count(".") + 1)
         return False
 
-    missing = [k for k in ref_keys if not covered(k)]
-    assert not missing, missing
+    missing, thin = [], []
+    for k in ref_keys:
+        row = find_row(k)
+        if row is None:
+            if covered(k):
+                continue
+            missing.append(k)
+            continue
+        typ, default, desc = row
+        if typ is not None and (not typ or typ == "—" or not default or len(desc) < 20):
+            thin.append((k, row))
+    assert not missing, f"no table row for: {missing}"
+    assert not thin, f"rows lacking type/default/description: {thin}"
