@@ -233,6 +233,44 @@ def test_all_shipped_samples_encode_with_full_dictionary():
             assert (np.asarray(ids) > 0).all(), path.name
 
 
+def test_long_samples_reference_scale():
+    """The procedurally composed samples (08-10) match the reference's sample
+    shape: multi-segment (>= 6), 30+ seconds total, dense 5 ms f0 curves
+    covering each segment, ph_dur consistent with note_dur
+    (reference samples/00_我多想说再见啊.ds: 30 segments, 1170-point f0_seq)."""
+    specs = {  # name -> (min_segments, acoustic_ready)
+        "08_qiu_yu.ds": (7, True),
+        "09_xing_he.ds": (10, True),
+        "10_shan_lu.ds": (6, False),
+    }
+    for name, (n_seg, ready) in specs.items():
+        with open(REPO / "samples" / name, encoding="utf8") as f:
+            segments = json.load(f)
+        assert len(segments) >= n_seg, name
+        total = max(s["offset"] + sum(map(float, s["note_dur"].split())) for s in segments)
+        assert total >= 30.0, (name, total)
+        offsets = [s["offset"] for s in segments]
+        assert offsets == sorted(offsets) and len(set(offsets)) == len(offsets)
+        for seg in segments:
+            note_total = sum(map(float, seg["note_dur"].split()))
+            assert note_total >= 3.0  # real phrases, not stubs
+            if not ready:
+                assert "ph_dur" not in seg and "f0_seq" not in seg
+                continue
+            ph_total = sum(map(float, seg["ph_dur"].split()))
+            assert abs(ph_total - note_total) < 0.01, name
+            ts = float(seg["f0_timestep"])
+            f0 = np.asarray(seg["f0_seq"].split(), np.float64)
+            assert ts == 0.005
+            assert len(f0) >= note_total / ts  # dense over the whole segment
+            assert (f0 > 50).all() and (f0 < 2000).all()
+            # a real contour moves: vibrato/portamento/drift, not a step plot —
+            # and transitions glide (< ~1 semitone per 5 ms; an octave glitch
+            # would be a 12-semitone step)
+            assert np.abs(np.diff(np.log2(f0))).max() < 0.09
+            assert np.std(f0) > 5.0
+
+
 def test_variance_to_acoustic_chain_on_shipped_sample(tmp_path):
     """Score-only shipped sample (06: ü-series + apical-vowel extension
     syllables) through variance auto-completion then acoustic synthesis,
