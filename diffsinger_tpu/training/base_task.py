@@ -454,8 +454,8 @@ class BaseTask:
         """Validation losses via a jitted fp32 eval loss (per-shape cache is
         jax.jit's own; collaters bucket-pad, so compiles are bounded by the
         bucket count). Multi-host runs walk the same chunk list on every
-        process, each loading its rank's slice (stitched globally); the
-        figure/audio extras are single-host only."""
+        process, each loading its rank's slice (stitched globally); rank 0
+        additionally renders the figure/audio extras from its local slice."""
         hp = self.hp
         rng = jax.random.PRNGKey(42)
         losses_acc: Dict[str, list] = {}
@@ -494,7 +494,12 @@ class BaseTask:
                 _, metrics = self._jit_eval_loss(state.params, jb, rng)
             for k, v in metrics.items():
                 losses_acc.setdefault(k, []).append(float(v))
-            if n_proc == 1:
+            if rank == 0:
+                # multi-host: rank 0 renders figures/audio from its local
+                # slice (the lowest-index items of each chunk, i.e. the
+                # plot-eligible ones); other ranks skip. Matches the
+                # reference's every-rank writers in spirit while keeping one
+                # writer per run (training_utils.py:334-365).
                 self.validation_extras(state, valid_ds, {"indices": idxs, **batch}, losses_acc)
         step = optimizer_step(state)
         for k, vals in losses_acc.items():

@@ -110,6 +110,20 @@ def make_mini_task(hp: dict):
                 MiniDataset(self.hp["valid_lengths"]),
             )
 
+        def validation_extras(self, state, valid_ds, batch, metrics):
+            """Record who renders extras: on multi-host runs only rank 0 may
+            call this (base_task rank-0 gating), from its local slice."""
+            import json as _json
+            import pathlib as _pathlib
+
+            import jax as _jax
+
+            rec = {"rank": _jax.process_index(),
+                   "indices": [int(i) for i in batch["indices"]]}
+            path = _pathlib.Path(self.hp["work_dir"]) / f"extras_rank{rec['rank']}.jsonl"
+            with open(path, "a") as f:
+                f.write(_json.dumps(rec) + "\n")
+
     return _MiniTask(hp)
 
 
