@@ -400,7 +400,26 @@ class BaseTask:
 
                 key = tuple(sorted((k, v.shape) for k, v in batch.items()))
                 if key not in jitted:
-                    jitted[key] = jax.jit(train_step, donate_argnums=0)
+                    if os.environ.get("DS_LOG_FLOPS") == "1":
+                        # AOT path: the SAME executable serves cost analysis
+                        # and the training calls (no duplicate compile)
+                        with self.mesh:
+                            compiled = jax.jit(
+                                train_step, donate_argnums=0
+                            ).lower(state, batch, rng).compile()
+                        try:
+                            cost = compiled.cost_analysis()
+                            if isinstance(cost, (list, tuple)):
+                                cost = cost[0]
+                            print(f"| train_step_flops batch={target_b} "
+                                  f"frames={max(v.shape[1] for v in batch.values() if v.ndim > 1)} "
+                                  f"flops={float(cost.get('flops', 0.0)):.4e}",
+                                  flush=True)
+                        except Exception:
+                            pass
+                        jitted[key] = compiled
+                    else:
+                        jitted[key] = jax.jit(train_step, donate_argnums=0)
                 if profile_steps and not profiling and step >= profile_start:
                     from jax import profiler as jax_profiler
 

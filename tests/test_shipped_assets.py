@@ -59,10 +59,14 @@ def test_config_cascade_and_class_paths():
         assert float(schedule(0)) > 0
 
 
-def test_demo_dictionary_covers_samples():
+def test_shipped_dictionary_covers_samples():
+    """Every shipped sample encodes with the shipped production dictionary
+    (samples intentionally exercise extension syllables beyond the demo
+    subset, e.g. the ü series in 06 and `En` finals in 09)."""
     from diffsinger_tpu.utils.text import PhonemeDictionary
 
-    pd = PhonemeDictionary({"zh": DICT})
+    pd = PhonemeDictionary(
+        {"zh": REPO / "dictionaries" / "opencpop-extension.txt"})
     for ds in sorted((REPO / "samples").glob("*.ds")):
         with open(ds, encoding="utf8") as f:
             for seg in json.load(f):

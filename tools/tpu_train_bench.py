@@ -139,6 +139,7 @@ def main():
          "--exp_name", "tpu_bench", "--ckpt_root", work / "ckpt",
          "--max_steps", str(args.steps)],
         work / "train.log",
+        env=dict(os.environ, DS_LOG_FLOPS="1"),
     )
 
     # parse "(X.XX it/s)" windows from log_interval lines
@@ -146,6 +147,20 @@ def main():
     post = windows[1:] or windows  # drop the compile-dominated first window
     steady = round(sum(post) / len(post), 3) if windows else None
     best = round(max(post), 3) if windows else None
+    # DS_LOG_FLOPS lines: one per shape bucket (XLA cost analysis of the
+    # compiled train step; no scan in the training graph, so no undercount)
+    flops_lines = re.findall(
+        r"train_step_flops batch=(\d+) frames=(\d+) flops=([0-9.e+]+)", log)
+    step_flops = [
+        {"batch": int(b), "frames": int(f), "flops": float(fl)}
+        for b, f, fl in flops_lines
+    ]
+    peak_tflops = float(os.environ.get("DS_BENCH_PEAK_TFLOPS", "197"))
+    mfu = None
+    if step_flops and steady:
+        # uniform synthetic corpus -> typically one bucket; use the largest
+        mfu = round(max(s["flops"] for s in step_flops) * steady
+                    / (peak_tflops * 1e12), 4)
     import jax
 
     result = {
@@ -161,6 +176,9 @@ def main():
         "mel_frames_per_s_upper_bound": (
             round(args.frames * steady, 1) if steady else None
         ),
+        "train_step_flops": step_flops,
+        "mfu": mfu,
+        "peak_tflops_assumed": peak_tflops,
     }
     out = ROOT / "docs" / "perf" / "train_bench.json"
     out.write_text(json.dumps(result, indent=2) + "\n")
