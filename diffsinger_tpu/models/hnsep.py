@@ -349,8 +349,31 @@ def predict_harmonic(model_path, waveform: np.ndarray) -> np.ndarray:
             is_complex=True, is_mono=args["is_mono"],
         )
         params = jax.tree.map(jnp.asarray, convert_cascaded_net(load_torch_file(model_path)))
-        _SEP_CACHE[model_path] = (model, params, args)
-    model, params, args = _SEP_CACHE[model_path]
+        n_fft, hop = args["n_fft"], args["hop_length"]
+        window = jnp.asarray(np.hanning(n_fft + 1)[:-1].astype(np.float32))
+
+        # ONE jitted program for the whole stft -> mask -> istft pipeline
+        # (jax.jit's own cache recompiles per padded length). Running this
+        # eagerly would dispatch hundreds of single-op programs through the
+        # device tunnel AND trip eager-complex gaps on some TPU runtimes
+        # (axon implements complex ops under jit but not as eager
+        # broadcast/transpose primitives — probed 2026-08-17).
+        is_mono = args["is_mono"]
+
+        @jax.jit
+        def pipeline(params, x):
+            spec = stft_complex(x[None], n_fft=n_fft, hop=hop, win_size=n_fft,
+                                window=window, center=True)  # [1, F, K]
+            spec_cf = jnp.transpose(spec, (0, 2, 1))[:, None]  # [1, 1, K, F]
+            if not is_mono:
+                spec_cf = jnp.concatenate([spec_cf, spec_cf], axis=1)
+            mask = model.apply(params, spec_cf)
+            pred = jnp.mean(spec_cf * mask, axis=1)  # [1, K, F]
+            return istft(jnp.transpose(pred, (0, 2, 1)), n_fft=n_fft, hop=hop,
+                         win_size=n_fft, window=window, center=True)[0]
+
+        _SEP_CACHE[model_path] = (pipeline, params, args)
+    pipeline, params, args = _SEP_CACHE[model_path]
 
     n_fft, hop = args["n_fft"], args["hop_length"]
     t = len(waveform)
@@ -358,18 +381,8 @@ def predict_harmonic(model_path, waveform: np.ndarray) -> np.ndarray:
     t_pad = (32 * (n_frames // 32 + 1) - 1) * hop - t
     tl_pad = t_pad // 2 // hop * hop
     x = np.pad(waveform, (tl_pad, t_pad - tl_pad))
-    window = jnp.asarray(np.hanning(n_fft + 1)[:-1].astype(np.float32))
-    spec = stft_complex(jnp.asarray(x)[None], n_fft=n_fft, hop=hop, win_size=n_fft,
-                        window=window, center=True)  # [1, F, K]
-    spec_cf = jnp.transpose(spec, (0, 2, 1))[:, None]  # [1, 1, K, F]
-    if not args["is_mono"]:
-        spec_cf = jnp.concatenate([spec_cf, spec_cf], axis=1)
-    mask = model.apply(params, spec_cf)
-    pred = spec_cf * mask
-    pred = jnp.mean(pred, axis=1)  # [1, K, F]
-    wav = istft(jnp.transpose(pred, (0, 2, 1)), n_fft=n_fft, hop=hop, win_size=n_fft,
-                window=window, center=True)
-    out = np.asarray(wav[0])[tl_pad : tl_pad + t]
+    wav = pipeline(params, jnp.asarray(x.astype(np.float32)))
+    out = np.asarray(wav)[tl_pad : tl_pad + t]
     if len(out) < t:
         out = np.pad(out, (0, t - len(out)))
     return out.astype(np.float32)

@@ -63,3 +63,44 @@ def test_cascaded_net_matches_reference():
     assert ours.shape == golden.shape
     np.testing.assert_allclose(ours.real, golden.real, atol=5e-4)
     np.testing.assert_allclose(ours.imag, golden.imag, atol=5e-4)
+
+
+def test_predict_harmonic_matches_reference_pipeline(tmp_path):
+    """Full vr pipeline (stft -> mask -> istft, one jitted program) vs the
+    reference's predict_from_audio (nets.py:175-197) from a saved torch
+    checkpoint + config.yaml, via the public predict_harmonic entry."""
+    import yaml
+
+    from diffsinger_tpu.models.hnsep import predict_harmonic
+
+    ref = _import_ref_nets()
+    torch.manual_seed(3)
+    n_fft, hop = 256, 64
+    tnet = ref.CascadedNet(n_fft, hop, nout=8, nout_lstm=16, is_complex=True,
+                           is_mono=True)
+    tnet.eval()
+    with torch.no_grad():
+        for m in tnet.modules():
+            if isinstance(m, (torch.nn.BatchNorm2d, torch.nn.BatchNorm1d)):
+                m.running_mean.normal_(0, 0.3)
+                m.running_var.uniform_(0.5, 2.0)
+
+    ckpt = tmp_path / "model.pt"
+    torch.save(tnet.state_dict(), ckpt)
+    (tmp_path / "config.yaml").write_text(yaml.safe_dump({
+        "n_fft": n_fft, "hop_length": hop, "n_out": 8, "n_out_lstm": 16,
+        "is_mono": True,
+    }))
+
+    t = np.arange(int(0.5 * 8000)) / 8000
+    wav = (0.4 * np.sin(2 * np.pi * 220 * t)
+           + 0.05 * np.random.default_rng(7).standard_normal(len(t))
+           ).astype(np.float32)
+    with torch.no_grad():
+        golden = tnet.predict_from_audio(
+            torch.from_numpy(wav)[None, None]).numpy()[0, 0]
+    ours = predict_harmonic(ckpt, wav)
+    assert ours.shape == wav.shape
+    # interior parity (istft edge frames differ by one window of padding)
+    sl = slice(n_fft, len(wav) - n_fft)
+    np.testing.assert_allclose(ours[sl], golden[sl], atol=2e-3)

@@ -136,8 +136,11 @@ def bench_neural_extractors():
     Tf = 512  # frames -> 512*441/44100 = 5.12 s per item
     net = CascadedNet(n_fft=n_fft, hop_length=hop, nout=32, nout_lstm=128,
                       is_mono=True)
-    spec = jnp.zeros((B, 1, n_fft // 2 + 1, Tf), jnp.complex64)
-    params = net.init(jax.random.PRNGKey(0), spec)
+    # complex input built host-side: eager complex creation ops are
+    # unimplemented on some TPU runtimes (transfers + jit complex are fine)
+    spec = jax.device_put(
+        np.zeros((B, 1, n_fft // 2 + 1, Tf), np.complex64))
+    params = jax.jit(net.init)(jax.random.PRNGKey(0), spec)
     fn = jax.jit(lambda p, s: jnp.abs(net.apply(p, s)).mean())
     dt = timed(fn, (params, spec))
     audio_s = B * Tf * hop / SR
