@@ -110,7 +110,8 @@ class AcousticBinarizer(BaseBinarizer):
     def process_item(self, item_name, meta_data, binarization_args):
         hp = self.hparams
         waveform, _ = load_wav(meta_data["wav_fn"], target_sr=hp["audio_sample_rate"])
-        mel = np.asarray(self.mel_spec(jnp.asarray(waveform)[None])[0]).T  # [T, M]
+        # bucketed: bounds distinct mel compiles across item lengths
+        mel = self.mel_spec.bucketed(waveform).T  # [T, M]
         length = mel.shape[0]
         seconds = length * hp["hop_size"] / hp["audio_sample_rate"]
         item = {

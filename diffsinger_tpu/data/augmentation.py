@@ -9,7 +9,6 @@ from __future__ import annotations
 
 from copy import deepcopy
 
-import jax.numpy as jnp
 import numpy as np
 
 from diffsinger_tpu.utils.infer_utils import load_wav, resample_align_curve
@@ -52,9 +51,7 @@ class SpectrogramStretchAugmentation(BaseAugmentation):
         hp = self.hparams
         aug_item = deepcopy(item)
         waveform, _ = load_wav(aug_item["wav_fn"], target_sr=hp["audio_sample_rate"])
-        mel = np.asarray(
-            self.mel_spec(jnp.asarray(waveform)[None], keyshift=key_shift, speed=speed)[0]
-        ).T
+        mel = self.mel_spec.bucketed(waveform, keyshift=key_shift, speed=speed).T
         aug_item["mel"] = mel.astype(np.float32)
 
         if speed != 1.0 or hp.get("use_speed_embed", False):

@@ -145,18 +145,25 @@ class MelSpectrogram:
         padded = num_samples + (win_new - hop_new) // 2 + (win_new - hop_new + 1) // 2
         return 1 + (padded - win_new) // hop_new
 
-    @functools.partial(jax.jit, static_argnums=0, static_argnames=("keyshift", "speed"))
-    def __call__(self, y: jnp.ndarray, *, keyshift: float = 0.0, speed: float = 1.0) -> jnp.ndarray:
-        """[B, L] float32 in [-1, 1] -> log-mel [B, n_mels, F] (log-e, clamp 1e-5)."""
+    @functools.partial(
+        jax.jit, static_argnums=0,
+        static_argnames=("keyshift", "speed", "pre_padded"))
+    def __call__(self, y: jnp.ndarray, *, keyshift: float = 0.0,
+                 speed: float = 1.0, pre_padded: bool = False) -> jnp.ndarray:
+        """[B, L] float32 in [-1, 1] -> log-mel [B, n_mels, F] (log-e, clamp 1e-5).
+
+        ``pre_padded=True`` skips the internal reflect padding (the caller has
+        already applied it) — used by :meth:`bucketed`."""
         factor = 2 ** (keyshift / 12)
         n_fft_new = int(round(self.n_fft * factor))
         win_new = int(round(self.win_size * factor))
         hop_new = int(round(self.hop_size * speed))
         window = jnp.asarray(hann_window_periodic(win_new))
 
-        pad_l = (win_new - hop_new) // 2
-        pad_r = (win_new - hop_new + 1) // 2
-        y = jnp.pad(y, ((0, 0), (pad_l, pad_r)), mode="reflect")
+        if not pre_padded:
+            pad_l = (win_new - hop_new) // 2
+            pad_r = (win_new - hop_new + 1) // 2
+            y = jnp.pad(y, ((0, 0), (pad_l, pad_r)), mode="reflect")
 
         spec = stft_magnitude(y, n_fft=n_fft_new, hop=hop_new, win_size=win_new, window=window)
         if keyshift != 0:
@@ -173,6 +180,37 @@ class MelSpectrogram:
             precision=jax.lax.Precision.HIGHEST,
         )
         return jnp.log(jnp.clip(mel, min=self.clip_val))
+
+    def bucketed(self, y: np.ndarray, *, keyshift: float = 0.0,
+                 speed: float = 1.0, quantum: int = 128) -> np.ndarray:
+        """Bit-exact log-mel of a 1-D waveform with shape-bucketed compilation.
+
+        The jitted :meth:`__call__` compiles once per input length; over a
+        remote TPU runtime a cold mel compile costs minutes, so per-item
+        lengths are ruinous for binarization. This entry reflect-pads on the
+        host exactly as the jitted path would, zero-pads to a frame count
+        quantized to ``quantum`` (frame math is window-local, so the first F
+        true frames are bitwise identical), runs the jitted program on the
+        bucketed shape, and trims. Distinct compiles are bounded by
+        O(max_item_frames / quantum) per (keyshift, speed).
+
+        Returns [n_mels, F] float32.
+        """
+        y = np.asarray(y, np.float32)
+        factor = 2 ** (keyshift / 12)
+        win_new = int(round(self.win_size * factor))
+        hop_new = int(round(self.hop_size * speed))
+        n_frames = self.num_frames(len(y), keyshift=keyshift, speed=speed)
+        pad_l = (win_new - hop_new) // 2
+        pad_r = (win_new - hop_new + 1) // 2
+        yp = np.pad(y, (pad_l, pad_r), mode="reflect")
+        fb = -(-n_frames // quantum) * quantum
+        need = win_new + (fb - 1) * hop_new
+        if need > len(yp):
+            yp = np.pad(yp, (0, need - len(yp)))
+        out = self(jnp.asarray(yp)[None], keyshift=keyshift, speed=speed,
+                   pre_padded=True)
+        return np.asarray(out[0, :, :n_frames])
 
 
 def get_mel(

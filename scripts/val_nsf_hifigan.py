@@ -20,8 +20,6 @@ sys.path.insert(0, str(root_dir))
               required=True)
 @click.option("--out", type=click.Path(file_okay=False, path_type=pathlib.Path), required=False)
 def main(wav, config, out):
-    import jax.numpy as jnp
-
     from diffsinger_tpu.config import load_config
     from diffsinger_tpu.dsp.mel import MelSpectrogram
     from diffsinger_tpu.dsp.pe import initialize_pe
@@ -38,7 +36,7 @@ def main(wav, config, out):
         n_fft=hp["fft_size"], win_size=hp["win_size"], hop_size=hp["hop_size"],
         fmin=hp["fmin"], fmax=hp["fmax"],
     )
-    mel = np.asarray(mel_spec(jnp.asarray(waveform)[None])[0]).T  # [T, M]
+    mel = mel_spec.bucketed(waveform).T  # [T, M]
     length = mel.shape[0]
     pe = initialize_pe(hp)
     f0, _ = pe.get_pitch(

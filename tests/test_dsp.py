@@ -139,3 +139,18 @@ def test_interp_f0():
     np.testing.assert_allclose([out[0], out[-1]], [100, 200], rtol=1e-9)
     # log-domain midpoint: sqrt(100*200)
     np.testing.assert_allclose(out[3:5], [100 * 2 ** (1 / 3), 100 * 2 ** (2 / 3)], rtol=1e-6)
+
+
+@pytest.mark.parametrize("n,keyshift,speed", [
+    (44100, 0, 1), (44100 + 777, 0, 1), (30000, 2.37, 1),
+    (30000, -4.9, 1), (52111, 0, 1.21),
+])
+def test_mel_bucketed_bitexact(wav, n, keyshift, speed):
+    """bucketed() (host reflect-pad + quantized zero-tail + trim) is bitwise
+    identical to the direct jitted call for the true frame count."""
+    mel = MelSpectrogram()
+    w = wav[:n]
+    direct = np.asarray(mel(jnp.asarray(w)[None], keyshift=keyshift, speed=speed))[0]
+    bucketed = mel.bucketed(w, keyshift=keyshift, speed=speed, quantum=128)
+    assert bucketed.shape == direct.shape
+    np.testing.assert_array_equal(bucketed, direct)

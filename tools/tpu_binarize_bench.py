@@ -136,13 +136,16 @@ def bench_neural_extractors():
     Tf = 512  # frames -> 512*441/44100 = 5.12 s per item
     net = CascadedNet(n_fft=n_fft, hop_length=hop, nout=32, nout_lstm=128,
                       is_mono=True)
-    # complex input built host-side: eager complex creation ops are
-    # unimplemented on some TPU runtimes (transfers + jit complex are fine)
-    spec = jax.device_put(
-        np.zeros((B, 1, n_fft // 2 + 1, Tf), np.complex64))
-    params = jax.jit(net.init)(jax.random.PRNGKey(0), spec)
-    fn = jax.jit(lambda p, s: jnp.abs(net.apply(p, s)).mean())
-    dt = timed(fn, (params, spec))
+    # complex only INSIDE jit (as in predict_harmonic): complex64 at the jit
+    # boundary is unimplemented for 4-D shapes on the axon TPU runtime
+    re = jnp.zeros((B, 1, n_fft // 2 + 1, Tf), jnp.float32)
+    im = jnp.zeros_like(re)
+    params = jax.jit(
+        lambda k, a, b: net.init(k, jax.lax.complex(a, b))
+    )(jax.random.PRNGKey(0), re, im)
+    fn = jax.jit(
+        lambda p, a, b: jnp.abs(net.apply(p, jax.lax.complex(a, b))).mean())
+    dt = timed(fn, (params, re, im))
     audio_s = B * Tf * hop / SR
     print(json.dumps({"part": "hnsep_cascaded_forward", "batch": B, "frames": Tf,
                       "ms": round(dt * 1e3, 1),
