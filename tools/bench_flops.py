@@ -127,7 +127,7 @@ def main():
     if "cpu" not in os.environ.get("JAX_PLATFORMS", ""):
         print("warning: JAX_PLATFORMS does not include 'cpu'; compiles may hit "
               "a remote backend", file=sys.stderr)
-    batch = int(os.environ.get("DS_BENCH_BATCH", "8"))
+    batch = int(os.environ.get("DS_BENCH_BATCH", "16"))  # keep in sync with bench.py
     t_mel = int(os.environ.get("DS_BENCH_T_MEL", "1024"))
     dtype_name = os.environ.get("DS_BENCH_DTYPE", "bf16")
     result = compute(batch, t_mel, dtype_name)
