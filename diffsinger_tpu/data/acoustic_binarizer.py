@@ -66,6 +66,7 @@ class AcousticBinarizer(BaseBinarizer):
 
     def feature_provenance(self) -> dict:
         from diffsinger_tpu.dsp.d4c import ALGO_VERSION as D4C_VERSION
+        from diffsinger_tpu.dsp.world import ALGO_VERSION as WORLD_VERSION
 
         hp = self.hparams
         info = super().feature_provenance()
@@ -73,7 +74,7 @@ class AcousticBinarizer(BaseBinarizer):
         if any(self.need.get(v) for v in ("breathiness", "voicing", "tension")):
             algo = hp.get("hnsep", "comb")
             info["hnsep"] = (
-                f"native-world(d4c-v{D4C_VERSION})" if algo == "world" else algo
+                f"native-world-v{WORLD_VERSION}(d4c-v{D4C_VERSION})" if algo == "world" else algo
             )
         return info
 

@@ -78,13 +78,14 @@ class VarianceBinarizer(BaseBinarizer):
 
     def feature_provenance(self) -> dict:
         from diffsinger_tpu.dsp.d4c import ALGO_VERSION as D4C_VERSION
+        from diffsinger_tpu.dsp.world import ALGO_VERSION as WORLD_VERSION
 
         info = super().feature_provenance()
         info["pe"] = self.pe.provenance()
         if any(v in self.var_list for v in ("breathiness", "voicing", "tension")):
             algo = self.hparams.get("hnsep", "comb")
             info["hnsep"] = (
-                f"native-world(d4c-v{D4C_VERSION})" if algo == "world" else algo
+                f"native-world-v{WORLD_VERSION}(d4c-v{D4C_VERSION})" if algo == "world" else algo
             )
         return info
 

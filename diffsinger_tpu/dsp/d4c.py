@@ -42,7 +42,6 @@ K_THRESHOLD = 0.85
 K_FLOOR_F0_D4C = 47.0
 K_LOVE_TRAIN_LOWEST_F0 = 40.0
 K_SAFE_GUARD_MIN = 1e-12
-DEFAULT_F0 = 150.0  # placeholder f0 for frames skipped by LoveTrain
 
 
 def _matlab_round(x):

@@ -14,10 +14,18 @@ Implements the pieces the reference uses from pyworld
   :func:`estimate_aperiodicity` (a simpler spectral-floor heuristic: the
   ratio between the inter-harmonic floor and the harmonic upper envelope) is
   kept as a fast jittable alternative.
-* :func:`synthesize` — overlap-add synthesis: minimum-phase response of the
-  envelope excited by pitch-synchronous pulses (periodic part, scaled by
-  sqrt(1-ap^2)) plus white noise shaped by the envelope (aperiodic part,
-  scaled by ap).
+* :func:`synthesize_world` — WORLD's exact pulse-synchronous synthesis
+  (Synthesis, synthesis.cpp): per-sample f0/vuv interpolation, pulse
+  locations from phase wrapping with fractional-sample time shifts,
+  per-pulse minimum-phase impulse responses (periodic: envelope with the
+  fractional shift as linear phase + DC removal; aperiodic: white noise
+  segments of the inter-pulse length filtered by the minimum-phase
+  response), scatter-added at the pulse positions. Host-side float64
+  numpy, vectorized over pulses — the same place the reference runs the
+  pyworld C++ (utils/decomposed_waveform.py:208-229).
+* :func:`synthesize` — a jittable overlap-add approximation kept for
+  on-device use (STFT-domain zero-phase filtering of a pulse train +
+  noise); the decomposition path below uses the exact synthesizer.
 
 `DecomposedWaveform(algorithm='world')` uses these to reproduce the
 reference's harmonic(=synthesize with ap=0 weighting)/aperiodic split.
@@ -32,6 +40,11 @@ import jax.numpy as jnp
 import numpy as np
 
 DEFAULT_F0 = 500.0  # unvoiced frames analyze with this f0 (pyworld convention)
+
+# Bumped whenever analysis/synthesis behavior changes (recorded into binarized
+# .meta provenance). v2: WORLD-exact pulse-synchronous synthesis replaced the
+# OLA approximation in the harmonic/aperiodic split.
+ALGO_VERSION = 2
 
 
 def _frame_centers(n_frames: int, hop: int) -> np.ndarray:
@@ -214,15 +227,165 @@ def synthesize(
                  center=True, length=length)[0]
 
 
+# ---------------------------------------------------------------------------
+# WORLD-exact synthesis (pyworld.synthesize replacement; synthesis.cpp)
+# ---------------------------------------------------------------------------
+
+K_DEFAULT_F0 = 500.0  # WORLD kDefaultF0: pulse cadence in unvoiced regions
+_SAFE_GUARD = 1e-12
+
+
+def _minimum_phase_spectrum(log_amp_half: np.ndarray, fft_size: int) -> np.ndarray:
+    """Minimum-phase complex spectrum from half log-amplitudes [P, bins].
+
+    WORLD GetMinimumPhaseSpectrum (common.cpp): mirror the log spectrum,
+    cepstrum via inverse FFT, causal fold (double positive quefrencies, zero
+    negatives, keep bins 0 and N/2), exponentiate the forward FFT.
+    """
+    full = np.concatenate([log_amp_half, log_amp_half[:, -2:0:-1]], axis=1)
+    cep = np.fft.ifft(full, axis=1)
+    cep[:, 1: fft_size // 2] *= 2.0
+    cep[:, fft_size // 2 + 1:] = 0.0
+    return np.exp(np.fft.fft(cep, axis=1))[:, : fft_size // 2 + 1]
+
+
+def _dc_remover(fft_size: int) -> np.ndarray:
+    """WORLD GetDCRemover: unit-sum symmetric raised-cosine window."""
+    i = np.arange(fft_size // 2)
+    half = 0.5 - 0.5 * np.cos(2.0 * np.pi * (i + 1.0) / (1.0 + fft_size))
+    w = np.concatenate([half, half[::-1]])
+    return w / w.sum()
+
+
+def _interp_frames(values: np.ndarray, pos: np.ndarray) -> np.ndarray:
+    """Per-pulse linear interpolation between frames (GetSpectralEnvelope):
+    values [F, bins] sampled at fractional frame positions pos [P]."""
+    n = values.shape[0]
+    lo = np.minimum(np.floor(pos).astype(np.int64), n - 1)
+    hi = np.minimum(np.ceil(pos).astype(np.int64), n - 1)
+    frac = (pos - lo)[:, None]
+    return values[lo] * (1.0 - frac) + values[hi] * frac
+
+
+def synthesize_world(
+    f0: np.ndarray,
+    spectrogram: np.ndarray,
+    aperiodicity: np.ndarray,
+    fs: int,
+    hop: int,
+    *,
+    seed: int = 0,
+) -> np.ndarray:
+    """WORLD Synthesis (synthesis.cpp), the pyworld.synthesize contract.
+
+    :param f0: [F] per-frame f0 in Hz (0 = unvoiced)
+    :param spectrogram: [F, fft_size//2+1] power spectral envelope
+    :param aperiodicity: [F, fft_size//2+1] band aperiodicity in (0, 1]
+    :param hop: frame period in samples (frame_period = hop/fs seconds)
+    :return: [F*hop] float64 waveform
+
+    Gaussian noise comes from numpy's generator rather than WORLD's xorshift
+    randn, so noise realizations differ bit-for-bit; everything else follows
+    the C++ structure (time base, pulse extraction, per-pulse responses).
+    """
+    f0 = np.asarray(f0, np.float64)
+    sp = np.asarray(spectrogram, np.float64)
+    ap = np.asarray(aperiodicity, np.float64)
+    n_frames, n_bins = sp.shape
+    fft_size = 2 * (n_bins - 1)
+    frame_period = hop / fs
+    y_length = n_frames * hop
+    rng = np.random.default_rng(seed)
+
+    # --- time base (GetTemporalParametersForTimeBase + GetTimeBase) ---
+    lowest_f0 = fs / fft_size + 1.0
+    coarse_t = np.arange(n_frames + 1) * frame_period
+    coarse_f0 = np.where(f0 < lowest_f0, 0.0, f0)
+    coarse_vuv = (coarse_f0 != 0.0).astype(np.float64)
+    coarse_f0 = np.append(coarse_f0, 2 * coarse_f0[-1] - coarse_f0[-2])
+    coarse_vuv = np.append(coarse_vuv, 2 * coarse_vuv[-1] - coarse_vuv[-2])
+    time_axis = np.arange(y_length) / fs
+    interp_f0 = np.interp(time_axis, coarse_t, coarse_f0)
+    interp_vuv = (np.interp(time_axis, coarse_t, coarse_vuv) > 0.5).astype(np.float64)
+    interp_f0 = np.where(interp_vuv == 0.0, K_DEFAULT_F0, interp_f0)
+
+    # --- pulse locations from phase wrapping (GetPulseLocationsForTimeBase) ---
+    total_phase = np.cumsum(2.0 * np.pi * interp_f0 / fs)
+    wrap_phase = np.fmod(total_phase, 2.0 * np.pi)
+    wrap_diff = np.abs(np.diff(wrap_phase))
+    pulse_idx = np.nonzero(wrap_diff > np.pi)[0]  # pulse at sample i
+    if pulse_idx.size == 0:
+        return np.zeros(y_length)
+    y1 = wrap_phase[pulse_idx] - 2.0 * np.pi
+    y2 = wrap_phase[pulse_idx + 1]
+    time_shift = (-y1 / (y2 - y1)) / fs  # seconds, in [0, 1/fs)
+    n_pulses = pulse_idx.size
+    # inter-pulse distance; the last pulse gets 0 and contributes nothing
+    noise_size = np.diff(pulse_idx, append=pulse_idx[-1])
+
+    # --- per-pulse envelope / aperiodicity (GetSpectralEnvelope/AperiodicRatio)
+    frame_pos = (pulse_idx / fs) / frame_period
+    env = np.abs(_interp_frames(sp, frame_pos))
+    safe_ap = np.clip(ap, 0.001, 0.999999999999)
+    ratio = _interp_frames(safe_ap, frame_pos) ** 2
+    vuv = interp_vuv[pulse_idx]
+
+    # --- periodic response (GetPeriodicResponse) ---
+    periodic = np.zeros((n_pulses, fft_size))
+    per_on = (vuv > 0.5) & (ratio[:, 0] <= 0.999)
+    if per_on.any():
+        log_amp = np.log(env[per_on] * (1.0 - ratio[per_on]) + _SAFE_GUARD) / 2.0
+        spec = _minimum_phase_spectrum(log_amp, fft_size)
+        # fractional time delay as linear phase; WORLD uses |sin| for the
+        # imaginary part (GetSpectrumWithFractionalTimeShift's sqrt(1-cos^2))
+        coeff = 2.0 * np.pi * time_shift[per_on] * fs / fft_size
+        arg = coeff[:, None] * np.arange(n_bins)[None, :]
+        re2, im2 = np.cos(arg), np.abs(np.sin(arg))
+        shifted = (spec.real * re2 + spec.imag * im2) + 1j * (
+            spec.imag * re2 - spec.real * im2)
+        resp = np.fft.fftshift(np.fft.irfft(shifted, n=fft_size, axis=1), axes=1)
+        # RemoveDCComponent: the first (acausal-wrap) half is replaced by the
+        # DC-removal window, the second half has it subtracted
+        dc = resp[:, fft_size // 2:].sum(axis=1, keepdims=True)
+        rem = _dc_remover(fft_size)[None, :]
+        resp[:, : fft_size // 2] = 0.0
+        resp -= dc * rem
+        periodic[per_on] = resp
+
+    # --- aperiodic response (GetAperiodicResponse) ---
+    offsets = np.arange(fft_size)[None, :]
+    active = offsets < noise_size[:, None]
+    noise = rng.standard_normal((n_pulses, fft_size)) * active
+    mean = noise.sum(axis=1, keepdims=True) / np.maximum(noise_size[:, None], 1)
+    noise = (noise - mean) * active
+    log_amp_ap = np.where(vuv[:, None] != 0.0,
+                          np.log(env * ratio) / 2.0, np.log(env) / 2.0)
+    spec_ap = _minimum_phase_spectrum(log_amp_ap, fft_size)
+    aperiodic = np.fft.fftshift(
+        np.fft.irfft(spec_ap * np.fft.rfft(noise, axis=1), n=fft_size, axis=1),
+        axes=1)
+
+    response = periodic * np.sqrt(noise_size)[:, None] + aperiodic
+
+    # --- scatter-add at pulse positions (Synthesis main loop) ---
+    y = np.zeros(y_length + 2 * fft_size)
+    offset = pulse_idx - fft_size // 2 + 1 + fft_size
+    np.add.at(y, offset[:, None] + offsets, response)
+    return y[fft_size: fft_size + y_length]
+
+
 def world_harmonic_aperiodic(
     waveform: np.ndarray, f0: np.ndarray, *, fs: int, fft_size: int, hop: int,
     rng: jax.Array | None = None,
 ):
     """Full WORLD-style decomposition: analyze (cheaptrick + D4C aperiodicity)
     and re-synthesize the harmonic part (ap-weighted, noise off) — the
-    reference's 'world' split (decomposed_waveform.py:195-230)."""
-    if rng is None:
-        rng = jax.random.PRNGKey(0)
+    reference's 'world' split (decomposed_waveform.py:195-230).
+
+    ``rng`` is accepted for API stability but unused: synthesis noise comes
+    from seeded numpy generators (one per part, like WORLD's internal randn).
+    """
+    del rng
     # the reference injects 1e-5 noise before WORLD analysis to dodge D4C's
     # band-limited-signal NaN edge case (decomposed_waveform.py:92-99)
     noise = np.random.default_rng(0).standard_normal(len(waveform)) * 1e-5
@@ -248,14 +411,17 @@ def world_harmonic_aperiodic(
             w = np.pad(w, (0, len(waveform) - len(w)))
         return w.astype(np.float32)
 
-    # both parts are *synthesized* (like pyworld's synthesize calls at
-    # decomposed_waveform.py:208-229) — subtraction would be phase-incoherent
-    harmonic = fit(synthesize(
-        f0j, env * jnp.clip(1 - ap ** 2, 1e-6, 1.0), jnp.zeros_like(ap),
-        fs=fs, fft_size=fft_size, hop=hop, rng=rng,
+    # both parts are *synthesized* with WORLD's exact pulse-synchronous
+    # synthesis, mirroring the reference's two pyworld.synthesize calls
+    # (decomposed_waveform.py:208-229) — subtraction would be phase-incoherent
+    env_np = np.asarray(env, np.float64)
+    ap_np = np.asarray(ap, np.float64)
+    f0_np = np.asarray(f0j, np.float64)
+    harmonic = fit(synthesize_world(
+        f0_np, np.clip(env_np * (1.0 - ap_np ** 2), 1e-16, None),
+        np.zeros_like(ap_np), fs, hop, seed=0,
     ))
-    aperiodic = fit(synthesize(
-        f0j, env * jnp.clip(ap ** 2, 1e-6, 1.0), jnp.ones_like(ap),
-        fs=fs, fft_size=fft_size, hop=hop, rng=jax.random.fold_in(rng, 1),
+    aperiodic = fit(synthesize_world(
+        f0_np, env_np * ap_np ** 2, np.ones_like(ap_np), fs, hop, seed=1,
     ))
     return harmonic, aperiodic

@@ -7,7 +7,8 @@ import jax
 import jax.numpy as jnp
 
 from diffsinger_tpu.dsp.world import (
-    cheaptrick, estimate_aperiodicity, synthesize, world_harmonic_aperiodic,
+    cheaptrick, estimate_aperiodicity, synthesize, synthesize_world,
+    world_harmonic_aperiodic,
 )
 
 FS, FFT, HOP = 44100, 2048, 512
@@ -83,6 +84,93 @@ def test_synthesis_produces_harmonics_at_f0():
     hi = spec[freqs > 4000].mean()
     lo = spec[(freqs > 100) & (freqs < 2000)].mean()
     assert lo > 20 * hi
+
+
+def test_minimum_phase_spectrum_preserves_amplitude():
+    """The minimum-phase construction must leave amplitudes untouched
+    (WORLD GetMinimumPhaseSpectrum is phase-only)."""
+    from diffsinger_tpu.dsp.world import _minimum_phase_spectrum
+
+    rng = np.random.default_rng(0)
+    n_bins = FFT // 2 + 1
+    # smooth random log-amplitudes (envelope-like)
+    raw = rng.standard_normal((3, n_bins))
+    kernel = np.hanning(65)
+    log_amp = np.stack([np.convolve(r, kernel / kernel.sum(), mode="same") for r in raw])
+    spec = _minimum_phase_spectrum(log_amp, FFT)
+    assert spec.shape == (3, n_bins)
+    np.testing.assert_allclose(np.abs(spec), np.exp(log_amp), rtol=1e-10)
+    # genuinely minimum-phase: energy of the impulse response is front-loaded
+    h = np.fft.irfft(spec, n=FFT, axis=1)
+    front = (h[:, : FFT // 8] ** 2).sum(axis=1)
+    total = (h ** 2).sum(axis=1)
+    assert (front > 0.5 * total).all()
+
+
+def test_synthesize_world_voiced_tone():
+    """Pulse-synchronous synthesis of a constant-f0 envelope: correct length,
+    near-zero DC, pitch accurate to sub-Hz (fractional time shifts), energy
+    confined to the envelope passband."""
+    f0_hz = 220.5  # deliberately not commensurate with fs/hop
+    n_frames = 170  # ~2 s
+    n_bins = FFT // 2 + 1
+    env = np.full((n_frames, n_bins), 1e-12)
+    env[:, : round(2000 * FFT / FS)] = 1.0
+    ap = np.full((n_frames, n_bins), 0.001)
+    f0 = np.full((n_frames,), f0_hz)
+    y = synthesize_world(f0, env, ap, FS, HOP, seed=0)
+    assert y.shape == (n_frames * HOP,)
+    assert np.isfinite(y).all()
+    sl = y[FFT:-FFT]
+    assert abs(sl.mean()) < 1e-3 * np.abs(sl).max()
+    spec = np.abs(np.fft.rfft(sl * np.hanning(len(sl))))
+    freqs = np.fft.rfftfreq(len(sl), 1 / FS)
+    band = (freqs > 180) & (freqs < 260)
+    peak = freqs[band][np.argmax(spec[band])]
+    assert abs(peak - f0_hz) < 0.5, peak
+    hi = spec[freqs > 4000].mean()
+    lo = spec[(freqs > 100) & (freqs < 2000)].mean()
+    assert lo > 30 * hi
+
+
+def test_synthesize_world_unvoiced_noise():
+    """f0=0 everywhere: the output is envelope-shaped noise (WORLD excites
+    unvoiced regions at the default 500 Hz cadence with noise segments)."""
+    n_frames = 80
+    n_bins = FFT // 2 + 1
+    env = np.full((n_frames, n_bins), 1e-12)
+    lo_bin, hi_bin = round(1000 * FFT / FS), round(3000 * FFT / FS)
+    env[:, lo_bin:hi_bin] = 1.0
+    ap = np.ones((n_frames, n_bins))
+    y = synthesize_world(np.zeros(n_frames), env, ap, FS, HOP, seed=3)
+    sl = y[FFT:-FFT]
+    assert np.abs(sl).max() > 0
+    spec = np.abs(np.fft.rfft(sl)) ** 2
+    freqs = np.fft.rfftfreq(len(sl), 1 / FS)
+    inband = spec[(freqs > 1100) & (freqs < 2900)].mean()
+    outband = spec[(freqs > 4000) | (freqs < 500)].mean()
+    assert inband > 30 * outband
+    # broadband, not harmonic: no dominant single component
+    assert spec.max() < 0.05 * spec.sum()
+
+
+def test_synthesize_world_pulse_cadence():
+    """Pulse spacing follows f0: doubling f0 doubles the zero-crossing-free
+    pulse count (measured via envelope-independent excitation energy)."""
+    n_frames = 90
+    n_bins = FFT // 2 + 1
+    env = np.ones((n_frames, n_bins))
+    ap = np.full((n_frames, n_bins), 0.001)
+    y1 = synthesize_world(np.full(n_frames, 110.0), env, ap, FS, HOP, seed=0)
+    y2 = synthesize_world(np.full(n_frames, 220.0), env, ap, FS, HOP, seed=0)
+    # flat envelope -> near-impulse responses; count distinct peaks
+    def count_pulses(y):
+        thresh = 0.3 * np.abs(y).max()
+        above = np.abs(y) > thresh
+        return int(np.diff(above.astype(int)).clip(min=0).sum())
+
+    c1, c2 = count_pulses(y1), count_pulses(y2)
+    assert 1.6 < c2 / c1 < 2.4, (c1, c2)
 
 
 def test_world_split_on_noisy_harmonic():

@@ -106,6 +106,79 @@ def test_d4c_matches_pyworld_goldens(name):
         assert mad <= AP_BAND_MAD_MAX, f"{name} band{b}: MAD {mad:.3f}"
 
 
+def _golden_key_or_skip(z, key):
+    if key not in z:
+        pytest.skip(f"{key} absent — goldens captured before the synthesis keys "
+                    "were added; re-run tools/capture_world_goldens.py")
+    return z[key]
+
+
+@needs_goldens
+@pytest.mark.parametrize("name", ["steady_mid", "vowel_pulse", "breathy"])
+def test_cheaptrick_matches_pyworld_goldens(name):
+    """Native CheapTrick vs pw.cheaptrick on the same f0 contour: per-frame
+    log-spectral distance over voiced interior frames."""
+    import jax.numpy as jnp
+
+    from diffsinger_tpu.dsp.world import cheaptrick
+
+    wave, _ = gs.signal_bank()[name]
+    with np.load(GOLDEN_NPZ) as z:
+        ref_f0 = z[f"harvest_f0/{name}"]
+        ref_sp = _golden_key_or_skip(z, f"cheaptrick_sp/{name}")
+    env = np.asarray(cheaptrick(jnp.asarray(wave, jnp.float32),
+                                jnp.asarray(ref_f0, jnp.float32),
+                                fs=gs.FS, fft_size=gs.FFT_SIZE, hop=gs.HOP))
+    n = min(len(env), len(ref_sp))
+    voiced = ref_f0[:n] > 0
+    voiced[:3] = voiced[-3:] = False
+    ours_db = 10 * np.log10(np.maximum(env[:n][voiced], 1e-20))
+    theirs_db = 10 * np.log10(np.maximum(ref_sp[:n][voiced], 1e-20))
+    # compare where the envelope carries signal (within 60 dB of frame peak)
+    sig = theirs_db > theirs_db.max(axis=1, keepdims=True) - 60.0
+    mad_db = np.abs((ours_db - theirs_db)[sig]).mean()
+    assert mad_db <= 6.0, f"{name}: envelope MAD {mad_db:.2f} dB"
+
+
+@needs_goldens
+@pytest.mark.parametrize("name", ["steady_mid", "vowel_pulse", "breathy"])
+def test_synthesis_matches_pyworld_goldens(name):
+    """Native synthesize_world fed pyworld's OWN sp/ap/f0 goldens must match
+    pw.synthesize output: this isolates synthesis parity from analysis
+    differences. The harmonic part is pulse-deterministic (same phase-wrap
+    pulse positions and fractional shifts), so it must correlate strongly
+    sample-for-sample; the aperiodic part uses a different noise stream, so
+    it is compared on framewise energy profile."""
+    from diffsinger_tpu.dsp.world import synthesize_world
+
+    with np.load(GOLDEN_NPZ) as z:
+        ref_f0 = z[f"harvest_f0/{name}"]
+        ref_sp = _golden_key_or_skip(z, f"cheaptrick_sp/{name}").astype(np.float64)
+        ref_ap = z[f"d4c_ap/{name}"].astype(np.float64)
+        gold_harm = z[f"synth_harm/{name}"].astype(np.float64)
+        gold_ap = z[f"synth_ap/{name}"].astype(np.float64)
+    harm = synthesize_world(
+        ref_f0, np.clip(ref_sp * (1 - ref_ap ** 2), 1e-16, None),
+        np.zeros_like(ref_ap), gs.FS, gs.HOP, seed=0)
+    aper = synthesize_world(
+        ref_f0, ref_sp * ref_ap ** 2, np.ones_like(ref_ap), gs.FS, gs.HOP, seed=1)
+
+    n = min(len(harm), len(gold_harm)) - 2 * gs.FFT_SIZE
+    a, b = harm[gs.FFT_SIZE:n], gold_harm[gs.FFT_SIZE:n]
+    corr = np.dot(a, b) / np.sqrt(np.dot(a, a) * np.dot(b, b) + 1e-30)
+    assert corr > 0.9, f"{name}: harmonic waveform correlation {corr:.3f}"
+    # matched energy scale
+    ratio = np.sqrt(np.dot(a, a) / (np.dot(b, b) + 1e-30))
+    assert 0.8 < ratio < 1.25, f"{name}: harmonic RMS ratio {ratio:.3f}"
+
+    m = min(len(aper), len(gold_ap)) // gs.HOP * gs.HOP
+    ours_e = np.square(aper[:m]).reshape(-1, gs.HOP).mean(axis=1)
+    gold_e = np.square(gold_ap[:m]).reshape(-1, gs.HOP).mean(axis=1)
+    sl = slice(4, len(ours_e) - 4)
+    db = 10 * np.log10((ours_e[sl] + 1e-20) / (gold_e[sl] + 1e-20))
+    assert np.abs(np.median(db)) < 3.0, f"{name}: aperiodic energy offset {np.median(db):.2f} dB"
+
+
 # ------------------------------------------------- speech-shaped behavioral
 
 def test_harvest_vowel_pulse_train():

@@ -70,6 +70,11 @@ def main() -> None:
         "f0_ceil": gs.F0_CEIL,
         "fft_size": gs.FFT_SIZE,
     }
+    # the reference's two pw.synthesize calls that define the world split
+    # (utils/decomposed_waveform.py:208-229); captured for the subset below so
+    # the native synthesizer (dsp/world.py synthesize_world) can be validated
+    # against pyworld's own analysis parameters
+    SYNTH_NAMES = ("steady_mid", "vowel_pulse", "breathy")
     for name, (wave, _) in gs.signal_bank().items():
         x = np.ascontiguousarray(wave, np.float64)
         f0, pos = pw.harvest(x, gs.FS, f0_floor=gs.F0_FLOOR, f0_ceil=gs.F0_CEIL,
@@ -78,6 +83,17 @@ def main() -> None:
         out[f"harvest_f0/{name}"] = f0.astype(np.float64)
         out[f"harvest_pos/{name}"] = pos.astype(np.float64)
         out[f"d4c_ap/{name}"] = ap_spec.astype(np.float32)
+        if name in SYNTH_NAMES:
+            sp = pw.cheaptrick(x, f0, pos, gs.FS, fft_size=gs.FFT_SIZE)
+            out[f"cheaptrick_sp/{name}"] = sp.astype(np.float32)
+            harm = pw.synthesize(
+                f0, np.clip(sp * (1 - ap_spec * ap_spec), a_min=1e-16, a_max=None),
+                np.zeros_like(ap_spec), gs.FS, frame_period=gs.FRAME_PERIOD_MS)
+            aper = pw.synthesize(
+                f0, sp * ap_spec * ap_spec, np.ones_like(ap_spec),
+                gs.FS, frame_period=gs.FRAME_PERIOD_MS)
+            out[f"synth_harm/{name}"] = harm.astype(np.float32)
+            out[f"synth_ap/{name}"] = aper.astype(np.float32)
         voiced = float((f0 > 0).mean())
         print(f"  {name:14s} frames={len(f0):4d} voiced={voiced:.2f}")
 
