@@ -115,7 +115,11 @@ def inference_dynamic(
                       t_start * x_end + (1.0 - t_start) * noise),
         )
     steps = jnp.maximum(jnp.asarray(steps, jnp.int32), 1)
-    dt = (1.0 - t_start) / steps.astype(jnp.float32)
+    # depth<=0 (t_start>=1) is a pure x_end passthrough: skip the loop
+    # entirely instead of integrating `steps` zero-length Euler steps
+    # (parity with the static path's early return)
+    steps = jnp.where(t_start >= 1.0, jnp.int32(0), steps)
+    dt = (1.0 - t_start) / jnp.maximum(steps, 1).astype(jnp.float32)
     b = noise.shape[0]
 
     def cond_fn(carry):

@@ -37,6 +37,12 @@ ACOUSTIC_ITEM_ATTRIBUTES = [
 
 VARIANCE_CHECKLIST = ["energy", "breathiness", "voicing", "tension"]
 
+# Random pitch-shift draws are snapped to this grid (semitones). The mel
+# program recompiles per distinct STFT window length (win = round(2048*2^(k/12))),
+# so continuous draws would compile once per augmented item; a 0.1-semitone
+# grid caps the corpus at <=101 geometries over a +-5 st range.
+KEY_SHIFT_QUANTUM = 0.1
+
 
 def dur_sec_to_mel2ph(ph_dur_sec: np.ndarray, length: int, timestep: float) -> np.ndarray:
     """Second-domain durations -> frame map, reference rounding
@@ -215,6 +221,11 @@ class AcousticBinarizer(BaseBinarizer):
             for name in _random.choices(all_item_names, k=int(scale * len(all_item_names))):
                 rand = _random.uniform(-1, 1)
                 key_shift = key_shift_min * abs(rand) if rand < 0 else key_shift_max * rand
+                # quantize the draw (0.1 semitone — inaudible vs the reference's
+                # continuous draws) so the number of distinct STFT window
+                # geometries, and with it the XLA compile count across the
+                # corpus, is bounded by the range instead of the item count
+                key_shift = round(key_shift / KEY_SHIFT_QUANTUM) * KEY_SHIFT_QUANTUM
                 add(name, {"name": name, "func": aug_ins.process_item,
                            "kwargs": {"key_shift": key_shift}})
             total_scale += scale

@@ -149,6 +149,9 @@ def _check_tensor(buf: bytes, what: str) -> str:
                 dims.append(d)
         else:
             dims.append(int(v))
+    # varints decode unsigned; negative int64 dims arrive as ~2^64 — restore
+    # the two's-complement sign so the negative-dim diagnostic fires
+    dims = [d - (1 << 64) if d >= (1 << 63) else d for d in dims]
     count = 1
     for d in dims:
         if d < 0:

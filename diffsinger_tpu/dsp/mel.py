@@ -145,19 +145,34 @@ class MelSpectrogram:
         padded = num_samples + (win_new - hop_new) // 2 + (win_new - hop_new + 1) // 2
         return 1 + (padded - win_new) // hop_new
 
-    @functools.partial(
-        jax.jit, static_argnums=0,
-        static_argnames=("keyshift", "speed", "pre_padded"))
     def __call__(self, y: jnp.ndarray, *, keyshift: float = 0.0,
                  speed: float = 1.0, pre_padded: bool = False) -> jnp.ndarray:
         """[B, L] float32 in [-1, 1] -> log-mel [B, n_mels, F] (log-e, clamp 1e-5).
 
         ``pre_padded=True`` skips the internal reflect padding (the caller has
-        already applied it) — used by :meth:`bucketed`."""
+        already applied it) — used by :meth:`bucketed`.
+
+        The keyshift/speed floats reach the compiled program only through the
+        derived integer window/hop lengths, so the jit cache is keyed on those
+        ints — continuous augmentation draws that round to the same geometry
+        share one compile (the floats themselves would each be a distinct
+        static-arg cache key)."""
         factor = 2 ** (keyshift / 12)
-        n_fft_new = int(round(self.n_fft * factor))
-        win_new = int(round(self.win_size * factor))
-        hop_new = int(round(self.hop_size * speed))
+        return self._impl(
+            y,
+            n_fft_new=int(round(self.n_fft * factor)),
+            win_new=int(round(self.win_size * factor)),
+            hop_new=int(round(self.hop_size * speed)),
+            resize_spec=keyshift != 0,
+            pre_padded=pre_padded,
+        )
+
+    @functools.partial(
+        jax.jit, static_argnums=0,
+        static_argnames=("n_fft_new", "win_new", "hop_new", "resize_spec",
+                         "pre_padded"))
+    def _impl(self, y: jnp.ndarray, *, n_fft_new: int, win_new: int,
+              hop_new: int, resize_spec: bool, pre_padded: bool) -> jnp.ndarray:
         window = jnp.asarray(hann_window_periodic(win_new))
 
         if not pre_padded:
@@ -166,7 +181,7 @@ class MelSpectrogram:
             y = jnp.pad(y, ((0, 0), (pad_l, pad_r)), mode="reflect")
 
         spec = stft_magnitude(y, n_fft=n_fft_new, hop=hop_new, win_size=win_new, window=window)
-        if keyshift != 0:
+        if resize_spec:
             size = self.n_fft // 2 + 1
             resize = spec.shape[1]
             if resize < size:
@@ -208,6 +223,11 @@ class MelSpectrogram:
         need = win_new + (fb - 1) * hop_new
         if need > len(yp):
             yp = np.pad(yp, (0, need - len(yp)))
+        else:
+            # canonicalize DOWN too: samples beyond `need` contribute no frame
+            # (frame count is fb either way), and without the trim an exact
+            # bucket multiple leaks the raw per-item length into the jit key
+            yp = yp[:need]
         out = self(jnp.asarray(yp)[None], keyshift=keyshift, speed=speed,
                    pre_padded=True)
         return np.asarray(out[0, :, :n_frames])

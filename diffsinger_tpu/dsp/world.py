@@ -231,7 +231,6 @@ def synthesize(
 # WORLD-exact synthesis (pyworld.synthesize replacement; synthesis.cpp)
 # ---------------------------------------------------------------------------
 
-K_DEFAULT_F0 = 500.0  # WORLD kDefaultF0: pulse cadence in unvoiced regions
 _SAFE_GUARD = 1e-12
 
 
@@ -307,7 +306,7 @@ def synthesize_world(
     time_axis = np.arange(y_length) / fs
     interp_f0 = np.interp(time_axis, coarse_t, coarse_f0)
     interp_vuv = (np.interp(time_axis, coarse_t, coarse_vuv) > 0.5).astype(np.float64)
-    interp_f0 = np.where(interp_vuv == 0.0, K_DEFAULT_F0, interp_f0)
+    interp_f0 = np.where(interp_vuv == 0.0, DEFAULT_F0, interp_f0)
 
     # --- pulse locations from phase wrapping (GetPulseLocationsForTimeBase) ---
     total_phase = np.cumsum(2.0 * np.pi * interp_f0 / fs)

@@ -519,7 +519,21 @@ class BaseTask:
                 # plot-eligible ones); other ranks skip. Matches the
                 # reference's every-rank writers in spirit while keeping one
                 # writer per run (training_utils.py:334-365).
-                self.validation_extras(state, valid_ds, {"indices": idxs, **batch}, losses_acc)
+                if n_proc > 1:
+                    # extras run single-process: a jit launched by rank 0
+                    # alone on globally-sharded params is illegal (every
+                    # process must participate). Params are fully replicated
+                    # (P()), so fetch them to host once and let the extras'
+                    # jits run on rank 0's local device.
+                    if not hasattr(self, "_val_host_params_step") or \
+                            self._val_host_params_step != int(state.step):
+                        self._val_host_params = jax.device_get(state.params)
+                        self._val_host_params_step = int(state.step)
+                    extras_state = state.replace(params=self._val_host_params)
+                else:
+                    extras_state = state
+                self.validation_extras(
+                    extras_state, valid_ds, {"indices": idxs, **batch}, losses_acc)
         step = optimizer_step(state)
         for k, vals in losses_acc.items():
             self.logger.add_scalar(f"validation/{k}", float(np.mean(vals)), step)

@@ -112,14 +112,23 @@ def make_mini_task(hp: dict):
 
         def validation_extras(self, state, valid_ds, batch, metrics):
             """Record who renders extras: on multi-host runs only rank 0 may
-            call this (base_task rank-0 gating), from its local slice."""
+            call this (base_task rank-0 gating), from its local slice.
+
+            Like the real tasks (acoustic_task.validation_extras), this runs a
+            single-process jit over ``state.params`` — on multi-host that is
+            only legal because base_task hands extras host-fetched params, so
+            this doubles as a regression test for that fetch."""
             import json as _json
             import pathlib as _pathlib
 
             import jax as _jax
+            import jax.numpy as _jnp
 
+            infer = _jax.jit(lambda p, x: x @ p["w"].astype(x.dtype))
+            pred = infer(state.params, _jnp.asarray(batch["x"]))
             rec = {"rank": _jax.process_index(),
-                   "indices": [int(i) for i in batch["indices"]]}
+                   "indices": [int(i) for i in batch["indices"]],
+                   "pred_finite": bool(_jnp.isfinite(pred).all())}
             path = _pathlib.Path(self.hp["work_dir"]) / f"extras_rank{rec['rank']}.jsonl"
             with open(path, "a") as f:
                 f.write(_json.dumps(rec) + "\n")

@@ -154,3 +154,29 @@ def test_mel_bucketed_bitexact(wav, n, keyshift, speed):
     bucketed = mel.bucketed(w, keyshift=keyshift, speed=speed, quantum=128)
     assert bucketed.shape == direct.shape
     np.testing.assert_array_equal(bucketed, direct)
+
+
+def test_mel_compile_count_bounded(wav):
+    """Compile-count discipline for binarization-scale corpora:
+
+    1. bucketed() canonicalizes the jit shape DOWN as well as up — item
+       lengths that land exactly on a frame-bucket multiple must not leak the
+       raw sample count into the jit key;
+    2. the jit cache is keyed on the derived window/hop integers, so distinct
+       augmentation keyshift/speed floats that round to the same STFT geometry
+       share one compiled program."""
+    mel = MelSpectrogram()
+    base = mel._impl._cache_size()
+    # exact bucket multiple: 128 frames * 512 hop
+    mel.bucketed(wav[: 128 * 512], quantum=128)
+    n1 = mel._impl._cache_size()
+    # same bucket, different raw length (not a multiple)
+    mel.bucketed(wav[: 128 * 512 - 300], quantum=128)
+    mel.bucketed(wav[: 128 * 512 - 7777], quantum=128)
+    assert mel._impl._cache_size() == n1, "same-bucket lengths recompiled"
+    # nearby keyshift floats with identical derived win/n_fft: one program
+    mel.bucketed(wav[: 128 * 512], keyshift=1.0, quantum=128)
+    n2 = mel._impl._cache_size()
+    mel.bucketed(wav[: 128 * 512], keyshift=1.0004, quantum=128)
+    assert mel._impl._cache_size() == n2, "equal-geometry keyshifts recompiled"
+    assert n1 > base  # sanity: the counter actually moves

@@ -193,6 +193,17 @@ def test_reflow_dynamic_shallow_matches_reference(noise, x_start, depth, steps):
     np.testing.assert_allclose(ours, golden, rtol=1e-4, atol=1e-5)
 
 
+def test_reflow_dynamic_depth_zero_is_exact_passthrough(noise, x_start):
+    """depth<=0 must return x_end bitwise (and skip the Euler loop entirely —
+    the exported Loop's trip count is clamped to zero, not run with dt=0)."""
+    out = np.asarray(reflow.inference_dynamic(
+        toy_v_jax, jnp.asarray(noise),
+        depth=jnp.float32(0.0), steps=jnp.int32(16),
+        t_start_min=0.0, time_scale_factor=1000.0, x_end=jnp.asarray(x_start),
+    ))
+    np.testing.assert_array_equal(out, x_start.astype(out.dtype))
+
+
 def test_reflow_dynamic_honors_t_start_min(noise, x_start):
     """depth beyond 1 - t_start_min clamps to the trained shallow boundary."""
     ours = np.asarray(reflow.inference_dynamic(

@@ -215,6 +215,18 @@ def test_checker_rejects_truncated_raw_data():
         check_model(m)
 
 
+def test_checker_rejects_negative_dim():
+    # dims = [-1]: wire-encoded as a 10-byte two's-complement varint; the
+    # checker must report the sign, not a bogus astronomical size mismatch
+    neg_one = _v((1 << 64) - 1)  # int64 -1 on the wire
+    tensor = (_tag(1, 0) + neg_one + _tag(2, 0) + _v(1) + _s(8, "w")
+              + _ld(9, b"\x00" * 4))
+    m = _simple_graph([_node("Mul", ["x", "w"], ["z"])],
+                      initializers=_ld(5, tensor))
+    with pytest.raises(OnnxCheckError, match="negative dim -1"):
+        check_model(m)
+
+
 def test_checker_rejects_missing_opset():
     node = _node("Relu", ["x"], ["z"])
     graph = _ld(1, node) + _s(2, "g") + _ld(11, _vi("x", [2])) + _ld(12, _vi("z", [2]))
