@@ -79,10 +79,27 @@ def cheaptrick(
     t = offsets[None, :] / half_win[:, None]  # [-1, 1] over the active window
     window = jnp.where(jnp.abs(t) < 1.0, 0.5 + 0.5 * jnp.cos(jnp.pi * t), 0.0)
     frames = frames * window
+    # weighted-mean removal (WORLD GetWindowedWaveform): subtract the window-
+    # shaped DC so offset leakage does not corrupt the low-band envelope
+    weight = jnp.sum(frames, axis=1, keepdims=True) / (
+        jnp.sum(window, axis=1, keepdims=True) + 1e-12)
+    frames = frames - window * weight
     # normalize window power (pyworld normalizes by sqrt of window energy)
     frames = frames / jnp.sqrt(jnp.sum(window * window, axis=1, keepdims=True) + 1e-12)
 
     power = jnp.abs(jnp.fft.rfft(frames, n=fft_size, axis=1)) ** 2  # [F, bins]
+    # DC correction (WORLD DCCorrection): mirror the spectrum below f0 back
+    # onto the sub-f0 bins, which otherwise hold only window leakage
+    bin_hz_dc = fs / fft_size
+    freqs = jnp.arange(n_bins) * bin_hz_dc
+    mirror_f = f0[:, None] - freqs[None, :]
+    q = mirror_f / bin_hz_dc
+    qf = jnp.clip(jnp.floor(q).astype(jnp.int32), 0, n_bins - 2)
+    qfrac = q - qf
+    rows = jnp.arange(n_frames)[:, None]
+    mirrored = power[rows, qf] * (1 - qfrac) + power[rows, qf + 1] * qfrac
+    power = power + jnp.where(mirror_f > 0, mirrored, 0.0) * (
+        freqs[None, :] < f0[:, None])
 
     # 2. frequency-domain smoothing with a rectangular window of width 2/3 f0
     bin_hz = fs / fft_size
