@@ -26,7 +26,8 @@ setup_jax()
 @click.option("--out", type=click.Path(file_okay=False, path_type=pathlib.Path), required=False)
 @click.option("--title", type=click.STRING, required=False)
 def main(mel, exp, config, out, title):
-    name = mel.name.removesuffix(".mel.npz") if not title else title
+    name = mel.name.removesuffix(".mel.npz").removesuffix(".mel.pt") \
+        if not title else title
     if out is None:
         out = mel.parent
 
@@ -45,15 +46,35 @@ def main(mel, exp, config, out, title):
 
     vocoder = get_vocoder_cls(hp)(hp)
 
-    data = np.load(mel)
-    num_segments = int(data["num_segments"])
+    if mel.name.endswith(".pt"):
+        # reference-format mel sequence: torch.load -> list of dicts with
+        # 'mel' [1, T, M] (or [T, M]), 'f0' [1, T], 'offset' float
+        # (reference scripts/vocode.py:58-60, inference/ds_acoustic.py:246-250)
+        import torch
+
+        seq = torch.load(mel, map_location="cpu", weights_only=False)
+        assert isinstance(seq, list) and seq, "Not a valid mel sequence."
+
+        def _np(v):
+            return (v.detach().cpu().numpy() if hasattr(v, "detach")
+                    else np.asarray(v)).astype(np.float32)
+
+        segments = [
+            (_np(s["mel"]).reshape(-1, _np(s["mel"]).shape[-1]),
+             _np(s["f0"]).reshape(-1),
+             float(s["offset"]))
+            for s in seq
+        ]
+    else:
+        data = np.load(mel)
+        segments = [
+            (data[f"mel_{i}"], data[f"f0_{i}"], float(data[f"offset_{i}"]))
+            for i in range(int(data["num_segments"]))
+        ]
     sr = hp["audio_sample_rate"]
     result = np.zeros(0)
     current_length = 0
-    for i in range(num_segments):
-        mel_seg = data[f"mel_{i}"]
-        f0_seg = data[f"f0_{i}"]
-        offset = float(data[f"offset_{i}"])
+    for mel_seg, f0_seg, offset in segments:
         wav = vocoder.spec2wav(mel_seg, f0=f0_seg)
         silent_length = round(offset * sr) - current_length
         if silent_length >= 0:

@@ -99,6 +99,23 @@ def test_vocode_cli_mel_to_wav(tmp_path):
         # 0.25 s silence offset + t * hop samples
         assert f.getnframes() == round(0.25 * 44100) + t * 512
 
+    # reference-format .mel.pt (torch.load list of {'mel','f0','offset'} with
+    # batch-dim tensors, reference scripts/vocode.py:58-60) vocal-izes too —
+    # drop-in migration for mels saved by the PyTorch framework
+    import torch
+
+    pt_path = tmp_path / "song_ref.mel.pt"
+    torch.save(
+        [{"mel": torch.from_numpy(mel)[None], "f0": torch.from_numpy(f0)[None],
+          "offset": 0.25}],
+        pt_path,
+    )
+    r = _run("scripts/vocode.py", str(pt_path), "--config", str(cfg_path),
+             "--out", str(tmp_path / "out_pt"))
+    assert r.returncode == 0, r.stderr
+    with wave.open(str(tmp_path / "out_pt" / "song_ref.wav")) as f:
+        assert f.getnframes() == round(0.25 * 44100) + t * 512
+
 
 def test_cli_pipeline_binarize_train(tmp_path):
     """The user-facing pipeline through the actual CLI entry points:
