@@ -136,7 +136,11 @@ class MelSpectrogram:
         self.fmin = fmin
         self.fmax = fmax
         self.clip_val = clip_val
-        self.mel_basis = jnp.asarray(mel_filterbank(sr, n_fft, n_mels, fmin, fmax))
+        # kept as numpy: instances are pickled into spawn binarization workers,
+        # and a device array here would initialize the child's JAX backend at
+        # unpickle time, before the worker pins itself to CPU (it becomes an
+        # XLA constant at trace time either way)
+        self.mel_basis = mel_filterbank(sr, n_fft, n_mels, fmin, fmax)
 
     def num_frames(self, num_samples: int, *, keyshift: float = 0.0, speed: float = 1.0) -> int:
         factor = 2 ** (keyshift / 12)

@@ -7,12 +7,25 @@ back in submission order regardless of per-item latency.
 from __future__ import annotations
 
 import multiprocessing
+import os
 import traceback
 
 is_main_process = multiprocessing.current_process().name == "MainProcess"
 
 
 def _worker(fn, args_chunk, queue):
+    # Pin workers to the CPU backend before any jax array exists: a TPU (or
+    # any PJRT accelerator) is a single-client device — N workers dialing it
+    # would contend or crash, and worker-side DSP is CPU-appropriate anyway
+    # (SURVEY.md §7.2#8: host DSP multiprocess on CPU, NN extraction batched
+    # on the chip from the main process). The config update wins over the
+    # sitecustomize-registered platform as long as it runs before first use.
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
     for job_idx, args in args_chunk:
         try:
             result = fn(*args)
@@ -40,8 +53,19 @@ def chunked_multiprocess_run(fn, args_list, num_workers: int, q_max_size: int = 
         ctx.Process(target=_worker, args=(fn, chunk, q), daemon=True)
         for chunk, q in zip(chunks, queues)
     ]
-    for p in procs:
-        p.start()
+    # children inherit the env at exec: steer their lazy backend choice to CPU
+    # even for jax arrays materialized during argument unpickling (e.g. NN
+    # extractor params captured in `fn`), which happens before _worker runs
+    prev = os.environ.get("JAX_PLATFORMS")
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        for p in procs:
+            p.start()
+    finally:
+        if prev is None:
+            os.environ.pop("JAX_PLATFORMS", None)
+        else:
+            os.environ["JAX_PLATFORMS"] = prev
     try:
         for i in range(n):
             job_idx, result, err = queues[i % num_workers].get()
