@@ -98,6 +98,73 @@ def test_acoustic_ds_to_wav(tmp_path, ds_segments):
     assert n > expected_min
 
 
+def test_acoustic_gender_velocity_mapping(tmp_path, ds_segments):
+    """gender -> key_shift and velocity -> speed curves in preprocess_input
+    (reference inference/ds_acoustic.py:137-177): static gender scales by the
+    augmentation range asymmetrically, dynamic gender resamples + clips, and
+    velocity clips into the stretching range."""
+    from diffsinger_tpu.inference.ds_acoustic import DiffSingerAcousticInfer
+
+    hp = _make_exp(
+        tmp_path, str(REPO / "configs" / "acoustic.yaml"),
+        dict(
+            TINY_COMMON,
+            audio_num_mel_bins=16,
+            use_key_shift_embed=True,
+            use_speed_embed=True,
+            backbone_args=dict(num_channels=32, num_layers=1, kernel_size=7,
+                               dropout_rate=0.0, strong_cond=True),
+            augmentation_args={
+                "random_pitch_shifting": {"enabled": False, "range": [-5.0, 5.0],
+                                          "scale": 0.5},
+                "fixed_pitch_shifting": {"enabled": False, "targets": [-5.0, 5.0],
+                                         "scale": 0.5},
+                "random_time_stretching": {"enabled": False, "range": [0.5, 2.0],
+                                           "scale": 0.5},
+            },
+            use_shallow_diffusion=False,
+            vocoder_ckpt=str(tmp_path / "nonexistent_vocoder.ckpt"),
+        ),
+        "tiny_acoustic_gender",
+    )
+    hp["infer"] = True
+
+    from diffsinger_tpu.models.toplevel import DiffSingerAcoustic
+    from diffsinger_tpu.utils.ckpt import checkpoint_path, save_checkpoint
+    from diffsinger_tpu.utils.text import load_phoneme_dictionary
+
+    vocab = len(load_phoneme_dictionary(hp))
+    model = DiffSingerAcoustic(hp, vocab_size=vocab, out_dims=16)
+    save_checkpoint(checkpoint_path(hp["work_dir"], 10),
+                    model.init(jax.random.PRNGKey(0)),
+                    category="acoustic", global_step=10)
+    with pytest.warns(UserWarning):
+        infer_ins = DiffSingerAcousticInfer(hp)
+
+    param = dict(ds_segments[0])
+    # static gender: +0.4 -> 0.4*shift_max, -0.4 -> -0.4*|shift_min|
+    param["gender"] = 0.4
+    batch = infer_ins.preprocess_input(param)
+    np.testing.assert_allclose(np.asarray(batch["key_shift"]), 0.4 * 5.0, rtol=1e-6)
+    param["gender"] = -0.4
+    batch = infer_ins.preprocess_input(param)
+    np.testing.assert_allclose(np.asarray(batch["key_shift"]), -0.4 * 5.0, rtol=1e-6)
+    # dynamic gender: curve resampled to frames and clipped to the range
+    param["gender"] = "0.0 1.0 -2.0"
+    param["gender_timestep"] = "0.5"
+    batch = infer_ins.preprocess_input(param)
+    ks = np.asarray(batch["key_shift"])[0]
+    assert ks.min() >= -5.0 and ks.max() <= 5.0
+    assert ks.max() > 0 and ks.min() < 0
+    # velocity: clipped into the stretching range
+    del param["gender"]
+    param["velocity"] = "0.1 1.0 10.0"
+    param["velocity_timestep"] = "0.5"
+    batch = infer_ins.preprocess_input(param)
+    sp = np.asarray(batch["speed"])[0]
+    assert sp.min() == pytest.approx(0.5) and sp.max() == pytest.approx(2.0)
+
+
 def test_acoustic_category_check(tmp_path):
     from diffsinger_tpu.utils.ckpt import checkpoint_path, load_checkpoint, save_checkpoint
 

@@ -117,3 +117,26 @@ def test_note_midi_roundtrip():
     assert midi_to_note(61) == "C#4"
     for m in range(21, 109):
         assert note_to_midi(midi_to_note(m)) == m
+
+
+def test_trans_key_transposes_notes_and_f0():
+    """--key transposition of parsed .ds segments (reference
+    utils/infer_utils.py:13-38): note names shift by semitones, f0 values
+    scale by 2^(key/12) rounded to 0.1 Hz, rests are preserved."""
+    from diffsinger_tpu.utils.infer_utils import trans_key
+
+    segs = [
+        {"note_seq": "A4 rest C#4", "f0_seq": "440.0 0.0 277.2"},
+        {"note_seq": "C4 C4"},  # no f0_seq -> warning path, notes still move
+    ]
+    out = trans_key([dict(s) for s in segs], 2)
+    assert out[0]["note_seq"] == "B4 rest D#4"
+    f0s = [float(x) for x in out[0]["f0_seq"].split(" ")]
+    assert f0s[0] == round(440.0 * 2 ** (2 / 12), 1)
+    assert f0s[1] == 0.0
+    assert out[1]["note_seq"] == "D4 D4"
+    # down transposition round-trips the note names
+    back = trans_key([dict(s) for s in out], -2)
+    assert back[0]["note_seq"] == "A4 rest C#4"
+
+
