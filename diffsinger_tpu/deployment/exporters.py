@@ -107,6 +107,17 @@ class BaseExporter:
         phoneme_dictionary.dump(path)
         print(f"| export: {path}")
 
+    def _export_languages(self, lang_map: dict):
+        """languages.json for multi-lingual models (reference
+        acoustic_exporter.py:127-129 emits it beside phonemes.json)."""
+        if not lang_map:
+            return None
+        path = self.export_dir / "languages.json"
+        with open(path, "w", encoding="utf8") as f:
+            json.dump(lang_map, f, ensure_ascii=False, indent=2)
+        print(f"| export: {path}")
+        return path.name
+
     def _export_spk_embeds(self, params, table_path: tuple, spk_map: dict):
         node = params["params"]
         for part in table_path:
@@ -132,12 +143,33 @@ class DiffSingerAcousticExporter(BaseExporter):
         self.infer = DiffSingerAcousticInfer(self.hparams, load_vocoder=False, ckpt_steps=ckpt_steps)
         self.model = self.infer.model
         self.params = self.infer.params
+        # reference exposure semantics (acoustic_exporter.py:138-145): the
+        # gender/velocity inputs exist only when exposed; otherwise the
+        # neutral value (key_shift 0 / speed 1) is frozen into the graph.
+        # freeze_spk bakes a static speaker mix instead of a spk_embed input.
+        self.expose_gender = bool(expose_gender)
+        self.expose_velocity = bool(expose_velocity)
+        self.freeze_spk = freeze_spk
         # (t_txt, t_mel) shape set; StableHLO is fixed-shape, so a serving
         # runtime picks the smallest bucket that fits (the reference sidesteps
         # this with ONNX dynamic axes; here each bucket is one artifact).
         # The first bucket keeps unsuffixed filenames for compatibility.
         self.buckets = [tuple(b) for b in (buckets or self.DEFAULT_BUCKETS)]
         self.bucket_files: dict = {}
+
+    def _static_spk_mix_embed(self, mix_spec: str) -> np.ndarray:
+        """Weighted speaker embedding for --freeze_spk 'a:0.6|b:0.4'
+        (reference acoustic_exporter.py frozen spk buffer). Returns [H]."""
+        from diffsinger_tpu.utils.infer_utils import parse_commandline_spk_mix
+
+        mix = parse_commandline_spk_mix(mix_spec)
+        table = np.asarray(
+            self.params["params"]["fs2"]["spk_embed"]["embedding"], np.float32)
+        out = np.zeros(table.shape[1], np.float32)
+        for name, weight in mix.items():
+            assert name in self.infer.spk_map, f"Unknown speaker '{name}'."
+            out += weight * table[self.infer.spk_map[name]]
+        return out
 
     def export_model(self):
         import jax
@@ -156,25 +188,95 @@ class DiffSingerAcousticExporter(BaseExporter):
             / hp.get("timesteps", 1000)
         )
 
-        def fs2_aux(params, tokens, mel2ph, f0):
-            cond = model.module.apply(params, tokens, mel2ph, f0, method="encode")
+        # Conditioning inputs exist iff the corresponding embed is on, with
+        # the reference's deployed semantics (deployment/modules/
+        # fastspeech2.py:107-123): `gender` is a raw [-1,1] curve mapped onto
+        # key_shift inside the graph via the augmentation range; `velocity`
+        # is the speed value clipped into the stretching range; variance
+        # curves and languages pass through; `spk_embed` is the frame-level
+        # mixed speaker embedding.
+        extra_specs = []  # (input_name, example_fn(t_txt, t_mel), kwargs_fn)
+        frozen_kwargs = {}  # embed on but not exposed: neutral value baked in
+        if hp.get("use_lang_id", False):
+            extra_specs.append(("languages",
+                                lambda tt, tm: jnp.zeros((1, tt), jnp.int32),
+                                lambda v: {"languages": v}))
+        if hp.get("use_spk_id", False):
+            hidden = hp["hidden_size"]
+            if self.freeze_spk:
+                frozen_kwargs["spk_mix_embed"] = jnp.asarray(
+                    self._static_spk_mix_embed(self.freeze_spk))[None, None, :]
+            else:
+                extra_specs.append(("spk_embed",
+                                    lambda tt, tm: jnp.zeros((1, tm, hidden), jnp.float32),
+                                    lambda v: {"spk_mix_embed": v}))
+        var_names = [v for v in ("energy", "breathiness", "voicing", "tension")
+                     if hp.get(f"use_{v}_embed", False)]
+        for v_name in var_names:
+            extra_specs.append((v_name,
+                                lambda tt, tm: jnp.zeros((1, tm), jnp.float32),
+                                None))  # merged into the variances dict below
+        if hp.get("use_key_shift_embed", False):
+            if self.expose_gender:
+                shift_min, shift_max = hp["augmentation_args"]["random_pitch_shifting"]["range"]
+
+                def _gender_kw(g, lo=float(shift_min), hi=float(shift_max)):
+                    g = jnp.clip(g, -1.0, 1.0)
+                    return {"key_shift": jnp.where(g >= 0, g * hi, g * abs(lo))}
+
+                extra_specs.append(("gender",
+                                    lambda tt, tm: jnp.zeros((1, tm), jnp.float32),
+                                    _gender_kw))
+            else:
+                frozen_kwargs["key_shift"] = jnp.zeros((1, 1), jnp.float32)
+        if hp.get("use_speed_embed", False):
+            if self.expose_velocity:
+                speed_min, speed_max = hp["augmentation_args"]["random_time_stretching"]["range"]
+
+                def _velocity_kw(v, lo=float(speed_min), hi=float(speed_max)):
+                    return {"speed": jnp.clip(v, lo, hi)}
+
+                extra_specs.append(("velocity",
+                                    lambda tt, tm: jnp.ones((1, tm), jnp.float32),
+                                    _velocity_kw))
+            else:
+                frozen_kwargs["speed"] = jnp.ones((1, 1), jnp.float32)
+        extra_names = [s[0] for s in extra_specs]
+
+        def _extra_kwargs(extra_args):
+            kwargs = dict(frozen_kwargs)
+            variances = {}
+            for (input_name, _, kw_fn), val in zip(extra_specs, extra_args):
+                if kw_fn is None:
+                    variances[input_name] = val
+                else:
+                    kwargs.update(kw_fn(val))
+            if variances:
+                kwargs["variances"] = variances
+            return kwargs
+
+        def fs2_aux(params, tokens, mel2ph, f0, *extra_args):
+            cond = model.module.apply(params, tokens, mel2ph, f0, method="encode",
+                                      **_extra_kwargs(extra_args))
             aux = None
             if model.use_shallow_diffusion:
                 aux = model.module.apply(params, cond, infer=True, method="aux")
             return cond, aux
 
-        def sampler(params, rng, tokens, mel2ph, f0, depth, steps):
+        def sampler(params, rng, tokens, mel2ph, f0, depth, steps, *extra_args):
             out = model.forward_infer_dynamic(params, rng, tokens, mel2ph, f0,
-                                              depth=depth, steps=steps)
+                                              depth=depth, steps=steps,
+                                              **_extra_kwargs(extra_args))
             return out.diff_out
 
-        def sampler_onnx(tokens, mel2ph, f0, depth, steps, noise):
+        def sampler_onnx(tokens, mel2ph, f0, depth, steps, noise, *extra_args):
             out = model.forward_infer_dynamic(self.params, None, tokens, mel2ph, f0,
-                                              depth=depth, steps=steps, noise=noise)
+                                              depth=depth, steps=steps, noise=noise,
+                                              **_extra_kwargs(extra_args))
             return out.diff_out
 
-        def fs2_aux_onnx(tokens, mel2ph, f0):
-            cond, aux = fs2_aux(self.params, tokens, mel2ph, f0)
+        def fs2_aux_onnx(tokens, mel2ph, f0, *extra_args):
+            cond, aux = fs2_aux(self.params, tokens, mel2ph, f0, *extra_args)
             return (cond, aux) if aux is not None else cond
 
         for i, (t_txt, t_mel) in enumerate(self.buckets):
@@ -182,16 +284,17 @@ class DiffSingerAcousticExporter(BaseExporter):
             tokens = jnp.zeros((1, t_txt), jnp.int32)
             mel2ph = jnp.zeros((1, t_mel), jnp.int32)
             f0 = jnp.full((1, t_mel), 220.0, jnp.float32)
+            extras = tuple(ex_fn(t_txt, t_mel) for _, ex_fn, _ in extra_specs)
             files = {}
             if self.want_stablehlo:
                 files["fs2_aux"] = f"{name}.fs2_aux{suffix}.stablehlo"
                 files["acoustic"] = f"{name}.diffusion{suffix}.stablehlo"
-                self._serialize(fs2_aux, (self.params, tokens, mel2ph, f0),
+                self._serialize(fs2_aux, (self.params, tokens, mel2ph, f0, *extras),
                                 self.export_dir / files["fs2_aux"])
                 self._serialize(
                     sampler,
                     (self.params, jax.random.PRNGKey(0), tokens, mel2ph, f0,
-                     depth0, steps0),
+                     depth0, steps0, *extras),
                     self.export_dir / files["acoustic"],
                 )
             if self.want_onnx:
@@ -202,17 +305,19 @@ class DiffSingerAcousticExporter(BaseExporter):
                 outs = (["condition", "aux_mel"] if model.use_shallow_diffusion
                         else ["condition"])
                 self._serialize_onnx(
-                    fs2_aux_onnx, (tokens, mel2ph, f0),
+                    fs2_aux_onnx, (tokens, mel2ph, f0, *extras),
                     self.export_dir / files["fs2_aux_onnx"],
-                    input_names=["tokens", "mel2ph", "f0"], output_names=outs)
+                    input_names=["tokens", "mel2ph", "f0", *extra_names],
+                    output_names=outs)
                 # `depth` is a public input only for shallow-diffusion models
                 # (reference acoustic_exporter.py:305-308); on non-shallow
                 # models it is traced but unused, so it is baked back in as a
                 # constant to keep the reference signature.
                 self._serialize_onnx(
-                    sampler_onnx, (tokens, mel2ph, f0, depth0, steps0, noise),
+                    sampler_onnx, (tokens, mel2ph, f0, depth0, steps0, noise, *extras),
                     self.export_dir / files["acoustic_onnx"],
-                    input_names=["tokens", "mel2ph", "f0", "depth", "steps", "noise"],
+                    input_names=["tokens", "mel2ph", "f0", "depth", "steps", "noise",
+                                 *extra_names],
                     output_names=["mel"],
                     internal_noise=["noise"],
                     internal_constants=(
@@ -238,8 +343,15 @@ class DiffSingerAcousticExporter(BaseExporter):
             "num_mel_bins": hp["audio_num_mel_bins"],
             "mel_fmin": hp["fmin"],
             "mel_fmax": hp["fmax"],
-            "use_key_shift_embed": hp.get("use_key_shift_embed", False),
-            "use_speed_embed": hp.get("use_speed_embed", False),
+            "mel_scale": "slaney",  # filterbank family (acoustic_exporter.py:161)
+            "use_lang_id": bool(hp.get("use_lang_id", False)),
+            # exposure, not training config: the consumer feeds gender/velocity
+            # only when the exported graph has those inputs
+            # (acoustic_exporter.py:144-145)
+            "use_key_shift_embed": bool(
+                hp.get("use_key_shift_embed", False) and self.expose_gender),
+            "use_speed_embed": bool(
+                hp.get("use_speed_embed", False) and self.expose_velocity),
             "use_shallow_diffusion": hp.get("use_shallow_diffusion", False),
             # reference acoustic_exporter.py:149-152: acceleration (steps) and
             # depth are continuous runtime inputs of the exported graphs;
@@ -256,6 +368,17 @@ class DiffSingerAcousticExporter(BaseExporter):
             "speakers": sorted(self.infer.spk_map) if self.infer.spk_map else [],
             "buckets": self.bucket_files,
         }
+        if hp.get("use_key_shift_embed", False) and self.expose_gender:
+            # OpenUTAU maps its gender curve onto key_shift with this range
+            # (acoustic_exporter.py:138-143)
+            manifest["augmentation_args"] = {
+                "random_pitch_shifting": {
+                    "range": list(hp["augmentation_args"]["random_pitch_shifting"]["range"])
+                }
+            }
+        lang_file = self._export_languages(self.infer.lang_map)
+        if lang_file:
+            manifest["languages"] = lang_file
         with open(self.export_dir / "dsconfig.yaml", "w") as f:
             yaml.safe_dump(manifest, f)
         print(f"| export: {self.export_dir / 'dsconfig.yaml'}")
@@ -287,10 +410,47 @@ class DiffSingerVarianceExporter(BaseExporter):
         model = self.model
         name = hp["exp_name"] or "variance"
 
+        # Conditioning inputs exist iff the corresponding flag is on: the
+        # token-level speaker embedding feeds the encoder, the frame-level one
+        # feeds the sampling condition (toplevel.py encode/frame_condition);
+        # languages feed the encoder on multi-lingual models.
+        hidden = hp["hidden_size"]
+        use_spk = hp.get("use_spk_id", False)
+        use_lang = hp.get("use_lang_id", False)
+        enc_extra_names = (["ph_spk_embed"] if use_spk else []) + (
+            ["languages"] if use_lang else [])
+        frame_extra_names = (["spk_embed"] if use_spk else [])
+
+        def _enc_examples(t_ph):
+            out = []
+            if use_spk:
+                out.append(jnp.zeros((1, 1, hidden), jnp.float32))
+            if use_lang:
+                out.append(jnp.zeros((1, t_ph), jnp.int32))
+            return out
+
+        def _frame_examples(t_mel):
+            return [jnp.zeros((1, 1, hidden), jnp.float32)] if use_spk else []
+
+        def _split_extras(extra_args):
+            kwargs = {}
+            it = iter(extra_args)
+            if use_spk:
+                kwargs["ph_spk_mix_embed"] = next(it)
+            if use_lang:
+                kwargs["languages"] = next(it)
+            if use_spk:
+                kwargs["spk_mix_embed"] = next(it, None)
+            kwargs = {k: v for k, v in kwargs.items() if v is not None}
+            return kwargs
+
         # linguistic + duration view (encoder + dur predictor)
-        def linguistic_dur(params, tokens, midi, ph2word, word_dur):
+        def linguistic_dur(params, tokens, midi, ph2word, word_dur, *extra):
+            kw = _split_extras(extra)
+            kw.pop("spk_mix_embed", None)
             enc, dur = model.module.apply(
-                params, tokens, midi, ph2word, word_dur=word_dur, infer=True, method="encode"
+                params, tokens, midi, ph2word, word_dur=word_dur, infer=True,
+                method="encode", **kw
             )
             return enc, dur
 
@@ -300,32 +460,34 @@ class DiffSingerVarianceExporter(BaseExporter):
         steps0 = jnp.int32(hp.get("sampling_steps", 20))
 
         def pitch_view(params, rng, tokens, midi, ph2word, ph_dur, mel2ph,
-                       base_pitch, steps):
+                       base_pitch, steps, *extra):
             dur_pred, pitch_pred, _ = model.forward_infer(
                 params, rng, tokens, midi, ph2word, base_pitch,
-                ph_dur=ph_dur, mel2ph=mel2ph, predict_variances=False, steps=steps,
+                ph_dur=ph_dur, mel2ph=mel2ph, predict_variances=False,
+                steps=steps, **_split_extras(extra),
             )
             return pitch_pred
 
         key = jax.random.PRNGKey(0)
 
-        def linguistic_onnx(tokens, midi, ph2word, word_dur):
-            return linguistic_dur(self.params, tokens, midi, ph2word, word_dur)
+        def linguistic_onnx(tokens, midi, ph2word, word_dur, *extra):
+            return linguistic_dur(self.params, tokens, midi, ph2word, word_dur, *extra)
 
-        def pitch_onnx(tokens, midi, ph2word, ph_dur, mel2ph, base_pitch, steps, noise):
+        def pitch_onnx(tokens, midi, ph2word, ph_dur, mel2ph, base_pitch, steps,
+                       noise, *extra):
             _, pitch_pred, _ = model.forward_infer(
                 self.params, key, tokens, midi, ph2word, base_pitch,
                 ph_dur=ph_dur, mel2ph=mel2ph, predict_variances=False,
-                steps=steps, noise_pitch=noise,
+                steps=steps, noise_pitch=noise, **_split_extras(extra),
             )
             return pitch_pred
 
         def variance_onnx(tokens, midi, ph2word, ph_dur, mel2ph, base_pitch,
-                          pitch, steps, noise):
+                          pitch, steps, noise, *extra):
             _, _, var_pred = model.forward_infer(
                 self.params, key, tokens, midi, ph2word, base_pitch,
                 ph_dur=ph_dur, mel2ph=mel2ph, pitch=pitch, predict_pitch=False,
-                steps=steps, noise_variances=noise,
+                steps=steps, noise_variances=noise, **_split_extras(extra),
             )
             return tuple(var_pred[v] for v in model.var_list)
 
@@ -338,25 +500,30 @@ class DiffSingerVarianceExporter(BaseExporter):
             word_dur = jnp.ones((1, t_ph), jnp.float32)
             base_pitch = jnp.full((1, t_mel), 60.0, jnp.float32)
             mel2ph = jnp.ones((1, t_mel), jnp.int32)
+            enc_extras = tuple(_enc_examples(t_ph))
+            all_extras = enc_extras + tuple(_frame_examples(t_mel))
             files = {}
             if self.want_stablehlo:
                 files["linguistic"] = f"{name}.linguistic_dur{suffix}.stablehlo"
-                self._serialize(linguistic_dur, (self.params, tokens, midi, ph2word, word_dur),
-                                self.export_dir / files["linguistic"])
+                self._serialize(
+                    linguistic_dur,
+                    (self.params, tokens, midi, ph2word, word_dur, *enc_extras),
+                    self.export_dir / files["linguistic"])
                 if model.predict_pitch:
                     files["pitch"] = f"{name}.pitch{suffix}.stablehlo"
                     self._serialize(
                         pitch_view,
                         (self.params, jax.random.PRNGKey(0), tokens, midi, ph2word, ph_dur,
-                         mel2ph, base_pitch, steps0),
+                         mel2ph, base_pitch, steps0, *all_extras),
                         self.export_dir / files["pitch"],
                     )
             if self.want_onnx:
                 files["linguistic_onnx"] = f"{name}.linguistic{suffix}.onnx"
                 self._serialize_onnx(
-                    linguistic_onnx, (tokens, midi, ph2word, word_dur),
+                    linguistic_onnx, (tokens, midi, ph2word, word_dur, *enc_extras),
                     self.export_dir / files["linguistic_onnx"],
-                    input_names=["tokens", "midi", "ph2word", "word_dur"],
+                    input_names=["tokens", "midi", "ph2word", "word_dur",
+                                 *enc_extra_names],
                     output_names=["encoder_out", "ph_dur_pred"])
                 if model.predict_pitch:
                     rb = hp["pitch_prediction_args"]["repeat_bins"]
@@ -364,10 +531,12 @@ class DiffSingerVarianceExporter(BaseExporter):
                     files["pitch_onnx"] = f"{name}.pitch{suffix}.onnx"
                     self._serialize_onnx(
                         pitch_onnx,
-                        (tokens, midi, ph2word, ph_dur, mel2ph, base_pitch, steps0, noise),
+                        (tokens, midi, ph2word, ph_dur, mel2ph, base_pitch, steps0,
+                         noise, *all_extras),
                         self.export_dir / files["pitch_onnx"],
                         input_names=["tokens", "midi", "ph2word", "ph_dur",
-                                     "mel2ph", "base_pitch", "steps", "noise"],
+                                     "mel2ph", "base_pitch", "steps", "noise",
+                                     *enc_extra_names, *frame_extra_names],
                         output_names=["pitch_pred"], internal_noise=["noise"])
                 if model.var_list:
                     trb = hp["variances_prediction_args"]["total_repeat_bins"]
@@ -377,10 +546,11 @@ class DiffSingerVarianceExporter(BaseExporter):
                     self._serialize_onnx(
                         variance_onnx,
                         (tokens, midi, ph2word, ph_dur, mel2ph, base_pitch, pitch,
-                         steps0, noise),
+                         steps0, noise, *all_extras),
                         self.export_dir / files["variance_onnx"],
                         input_names=["tokens", "midi", "ph2word", "ph_dur",
-                                     "mel2ph", "base_pitch", "pitch", "steps", "noise"],
+                                     "mel2ph", "base_pitch", "pitch", "steps", "noise",
+                                     *enc_extra_names, *frame_extra_names],
                         output_names=[f"{v}_pred" for v in model.var_list],
                         internal_noise=["noise"])
             self.bucket_files[f"{t_ph}x{t_mel}"] = files
@@ -405,6 +575,10 @@ class DiffSingerVarianceExporter(BaseExporter):
             "speakers": sorted(self.infer.spk_map) if self.infer.spk_map else [],
             "buckets": self.bucket_files,
         }
+        manifest["use_lang_id"] = bool(hp.get("use_lang_id", False))
+        lang_file = self._export_languages(self.infer.lang_map)
+        if lang_file:
+            manifest["languages"] = lang_file
         with open(self.export_dir / "dsconfig.yaml", "w") as f:
             yaml.safe_dump(manifest, f)
         self._export_phonemes(self.infer.phoneme_dictionary)

@@ -2,7 +2,9 @@
 jax.export.deserialize and produce the same outputs as the live model."""
 
 import pathlib
+
 import numpy as np
+import yaml
 import pytest
 
 import jax
@@ -49,6 +51,13 @@ def test_acoustic_export_roundtrip(tmp_path):
 
     assert (out_dir / "dsconfig.yaml").exists()
     assert (out_dir / "phonemes.json").exists()
+    with open(out_dir / "dsconfig.yaml") as f:
+        manifest = yaml.safe_load(f)
+    # OpenUTAU deployment contract keys (reference acoustic_exporter.py:125-161)
+    assert manifest["mel_scale"] == "slaney" and manifest["mel_base"] == "e"
+    assert "use_lang_id" in manifest
+    if manifest["use_key_shift_embed"]:
+        assert manifest["augmentation_args"]["random_pitch_shifting"]["range"]
     sampler_path = next(out_dir.glob("*.diffusion.stablehlo"))
 
     from jax import export as jexport
@@ -67,6 +76,76 @@ def test_acoustic_export_roundtrip(tmp_path):
     ).diff_out
     np.testing.assert_allclose(np.asarray(mel_exported), np.asarray(mel_live),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_acoustic_export_gender_velocity_exposure(tmp_path):
+    """Models trained with key_shift/speed embeds export correctly (this
+    crashed before the conditional-inputs fix): --expose_gender adds a live
+    `gender` input with the reference's in-graph range mapping
+    (deployment/modules/fastspeech2.py:107-123); unexposed speed freezes the
+    neutral value into the graph."""
+    hp = _make_exp(
+        tmp_path, str(pathlib.Path(__file__).resolve().parents[1] / "configs" / "acoustic.yaml"),
+        dict(
+            TINY_COMMON,
+            audio_num_mel_bins=16,
+            use_key_shift_embed=True,
+            use_speed_embed=True,
+            backbone_args=dict(num_channels=32, num_layers=1, kernel_size=7,
+                               dropout_rate=0.0, strong_cond=True),
+            use_shallow_diffusion=False,
+        ),
+        "tiny_export_gender",
+    )
+    hp["infer"] = True
+
+    from diffsinger_tpu.models.toplevel import DiffSingerAcoustic
+    from diffsinger_tpu.utils.ckpt import checkpoint_path, save_checkpoint
+    from diffsinger_tpu.utils.text import load_phoneme_dictionary
+
+    vocab = len(load_phoneme_dictionary(hp))
+    model = DiffSingerAcoustic(hp, vocab_size=vocab, out_dims=16)
+    params = model.init(jax.random.PRNGKey(0))
+    save_checkpoint(checkpoint_path(hp["work_dir"], 100), params,
+                    category="acoustic", global_step=100)
+
+    from diffsinger_tpu.deployment.exporters import DiffSingerAcousticExporter
+
+    out_dir = tmp_path / "artifacts_exposed"
+    exporter = DiffSingerAcousticExporter(
+        hp, out_dir, expose_gender=True, expose_velocity=False,
+        buckets=[(16, 128)])
+    exporter.export()
+
+    with open(out_dir / "dsconfig.yaml") as f:
+        manifest = yaml.safe_load(f)
+    assert manifest["use_key_shift_embed"] is True
+    assert manifest["use_speed_embed"] is False  # frozen, not an input
+    assert manifest["augmentation_args"]["random_pitch_shifting"]["range"]
+
+    from jax import export as jexport
+
+    exp = jexport.deserialize(
+        (out_dir / next(iter(manifest["buckets"].values()))["fs2_aux"]).read_bytes())
+    tokens = jnp.zeros((1, 16), jnp.int32).at[0, :4].set(jnp.arange(1, 5))
+    mel2ph = jnp.zeros((1, 128), jnp.int32).at[0, :100].set(1)
+    f0 = jnp.full((1, 128), 220.0, jnp.float32)
+    c0, _ = exp.call(exporter.params, tokens, mel2ph, f0,
+                     jnp.zeros((1, 128), jnp.float32))
+    c1, _ = exp.call(exporter.params, tokens, mel2ph, f0,
+                     jnp.full((1, 128), 0.9, jnp.float32))
+    assert float(jnp.abs(jnp.asarray(c1) - jnp.asarray(c0)).mean()) > 1e-4
+
+    # frozen variant: no gender input, condition equals gender=0
+    out_frozen = tmp_path / "artifacts_frozen"
+    DiffSingerAcousticExporter(hp, out_frozen, buckets=[(16, 128)]).export()
+    with open(out_frozen / "dsconfig.yaml") as f:
+        m2 = yaml.safe_load(f)
+    assert m2["use_key_shift_embed"] is False and "augmentation_args" not in m2
+    exp_f = jexport.deserialize(
+        (out_frozen / next(iter(m2["buckets"].values()))["fs2_aux"]).read_bytes())
+    cf, _ = exp_f.call(exporter.params, tokens, mel2ph, f0)
+    np.testing.assert_allclose(np.asarray(c0), np.asarray(cf), atol=1e-5)
 
 
 def test_export_forces_fp32_despite_bf16_infer_precision(tmp_path):
