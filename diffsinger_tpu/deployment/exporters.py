@@ -353,6 +353,10 @@ class DiffSingerAcousticExporter(BaseExporter):
             "use_speed_embed": bool(
                 hp.get("use_speed_embed", False) and self.expose_velocity),
             "use_shallow_diffusion": hp.get("use_shallow_diffusion", False),
+            # per-variance embed flags (acoustic_exporter.py:146-147): each
+            # enabled one is a [1, T_mel] input of the exported graphs
+            **{f"use_{v}_embed": bool(hp.get(f"use_{v}_embed", False))
+               for v in ("energy", "breathiness", "voicing", "tension")},
             # reference acoustic_exporter.py:149-152: acceleration (steps) and
             # depth are continuous runtime inputs of the exported graphs;
             # max_depth is the deepest usable shallow depth as a fraction.

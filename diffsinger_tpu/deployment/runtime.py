@@ -86,13 +86,18 @@ class AcousticArtifactRuntime:
 
     def synthesize_mel(self, tokens: np.ndarray, mel2ph: np.ndarray, f0: np.ndarray,
                        seed: int = 0, depth: Optional[float] = None,
-                       steps: Optional[int] = None) -> np.ndarray:
+                       steps: Optional[int] = None,
+                       gender: Optional[np.ndarray] = None,
+                       velocity: Optional[np.ndarray] = None) -> np.ndarray:
         """tokens [1, T_txt] int32; mel2ph [1, T_mel] int32; f0 [1, T_mel]
         float32 -> mel [1, T_mel, M] float32 (trimmed to the input length).
 
         ``depth``/``steps`` are runtime inputs of the exported sampler
         (the reference's deployed ONNX contract) — defaulting to the
-        manifest's ``max_depth`` and ``sampling_steps``."""
+        manifest's ``max_depth`` and ``sampling_steps``. ``gender``/
+        ``velocity`` curves [1, T_mel] feed models exported with
+        --expose_gender/--expose_velocity (manifest use_key_shift_embed /
+        use_speed_embed); neutral defaults otherwise."""
         import jax
 
         if depth is None:
@@ -102,6 +107,26 @@ class AcousticArtifactRuntime:
         t_txt, t_mel = tokens.shape[1], mel2ph.shape[1]
         bt, bm, files = self._pick_bucket(t_txt, t_mel)
         exp = self._artifact(files["acoustic"])
+        extras = []
+        if self.manifest.get("use_lang_id"):
+            # ordered before the curves in the export signature
+            raise NotImplementedError(
+                "multi-lingual bundles need a languages input; drive the "
+                "artifact directly via jax.export")
+        unsupported = [v for v in ("energy", "breathiness", "voicing", "tension")
+                       if self.manifest.get(f"use_{v}_embed")]
+        if unsupported:
+            raise NotImplementedError(
+                f"bundle expects variance-curve inputs {unsupported}; drive "
+                "the artifact directly via jax.export")
+        if self.manifest.get("use_key_shift_embed"):
+            g = np.zeros((1, t_mel), np.float32) if gender is None else \
+                np.asarray(gender, np.float32)
+            extras.append(_pad_axis1(g, bm))
+        if self.manifest.get("use_speed_embed"):
+            v = np.ones((1, t_mel), np.float32) if velocity is None else \
+                np.asarray(velocity, np.float32)
+            extras.append(_pad_axis1(v, bm, value=1.0))
         out = exp.call(
             self.params,
             jax.random.PRNGKey(seed),
@@ -110,6 +135,7 @@ class AcousticArtifactRuntime:
             _pad_axis1(np.asarray(f0, np.float32), bm, value=220.0),
             np.float32(depth),
             np.int32(steps),
+            *extras,
         )
         return np.asarray(out)[:, :t_mel]
 
