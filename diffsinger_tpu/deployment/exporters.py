@@ -472,6 +472,15 @@ class DiffSingerVarianceExporter(BaseExporter):
             )
             return pitch_pred
 
+        def variance_view(params, rng, tokens, midi, ph2word, ph_dur, mel2ph,
+                          base_pitch, pitch, steps, *extra):
+            _, _, var_pred = model.forward_infer(
+                params, rng, tokens, midi, ph2word, base_pitch,
+                ph_dur=ph_dur, mel2ph=mel2ph, pitch=pitch, predict_pitch=False,
+                steps=steps, **_split_extras(extra),
+            )
+            return tuple(var_pred[v] for v in model.var_list)
+
         key = jax.random.PRNGKey(0)
 
         def linguistic_onnx(tokens, midi, ph2word, word_dur, *extra):
@@ -520,6 +529,15 @@ class DiffSingerVarianceExporter(BaseExporter):
                         (self.params, jax.random.PRNGKey(0), tokens, midi, ph2word, ph_dur,
                          mel2ph, base_pitch, steps0, *all_extras),
                         self.export_dir / files["pitch"],
+                    )
+                if model.var_list:
+                    pitch0 = jnp.full((1, t_mel), 60.0, jnp.float32)
+                    files["variance"] = f"{name}.variance{suffix}.stablehlo"
+                    self._serialize(
+                        variance_view,
+                        (self.params, jax.random.PRNGKey(0), tokens, midi, ph2word,
+                         ph_dur, mel2ph, base_pitch, pitch0, steps0, *all_extras),
+                        self.export_dir / files["variance"],
                     )
             if self.want_onnx:
                 files["linguistic_onnx"] = f"{name}.linguistic{suffix}.onnx"

@@ -367,7 +367,7 @@ def test_variance_exporter_onnx_steps_sweep(tmp_path):
     from diffsinger_tpu.deployment.exporters import DiffSingerVarianceExporter
 
     out_dir = tmp_path / "onnx_artifacts"
-    exporter = DiffSingerVarianceExporter(hp, out_dir, buckets=[(16, 64)], fmt="onnx")
+    exporter = DiffSingerVarianceExporter(hp, out_dir, buckets=[(16, 64)], fmt="both")
     exporter.export()
 
     import yaml
@@ -398,6 +398,22 @@ def test_variance_exporter_onnx_steps_sweep(tmp_path):
     g = parse_model(var_bytes)
     assert g.inputs == ["tokens", "midi", "ph2word", "ph_dur", "mel2ph",
                         "base_pitch", "pitch", "steps"]
+
+    # StableHLO side of the same bundle: pitch AND variance sampler views
+    # exist and execute (the variance view was ONNX-only before)
+    from jax import export as jexport
+
+    for view, extra_args in (
+        ("pitch", ()),
+        ("variance", (jnp.full((1, 64), 60.0, jnp.float32),)),
+    ):
+        exp = jexport.deserialize((out_dir / files[view]).read_bytes())
+        out = exp.call(params, jax.random.PRNGKey(0), jnp.asarray(tokens),
+                       jnp.asarray(midi), jnp.asarray(ph2word),
+                       jnp.asarray(ph_dur), jnp.asarray(mel2ph),
+                       jnp.asarray(base_pitch), *extra_args, jnp.int32(2))
+        leaves = jax.tree.leaves(out)
+        assert all(bool(jnp.isfinite(x).all()) for x in leaves), view
 
     # deterministic steps-sweep parity via the lowering (noise as input)
     nz = jnp.asarray(np.random.default_rng(0).standard_normal((1, 64, 8)), jnp.float32)
