@@ -156,6 +156,7 @@ class DiffSingerAcousticExporter(BaseExporter):
         # The first bucket keeps unsuffixed filenames for compatibility.
         self.buckets = [tuple(b) for b in (buckets or self.DEFAULT_BUCKETS)]
         self.bucket_files: dict = {}
+        self._extra_names: list = []  # filled by export_model
 
     def _static_spk_mix_embed(self, mix_spec: str) -> np.ndarray:
         """Weighted speaker embedding for --freeze_spk 'a:0.6|b:0.4'
@@ -242,6 +243,7 @@ class DiffSingerAcousticExporter(BaseExporter):
             else:
                 frozen_kwargs["speed"] = jnp.ones((1, 1), jnp.float32)
         extra_names = [s[0] for s in extra_specs]
+        self._extra_names = extra_names  # recorded into the manifest
 
         def _extra_kwargs(extra_args):
             kwargs = dict(frozen_kwargs)
@@ -370,6 +372,10 @@ class DiffSingerAcousticExporter(BaseExporter):
                 else 1.0 - float(hp.get("T_start_infer", hp.get("T_start", 0.4)))
             ),
             "speakers": sorted(self.infer.spk_map) if self.infer.spk_map else [],
+            # ordered conditioning inputs appended to every graph's signature
+            # after (tokens, mel2ph, f0[, depth, steps, noise]); consumers use
+            # this instead of re-deriving the set from the flags above
+            "extra_inputs": list(self._extra_names),
             "buckets": self.bucket_files,
         }
         if hp.get("use_key_shift_embed", False) and self.expose_gender:
@@ -512,6 +518,7 @@ class DiffSingerVarianceExporter(BaseExporter):
             ph_dur = jnp.ones((1, t_ph), jnp.float32)
             word_dur = jnp.ones((1, t_ph), jnp.float32)
             base_pitch = jnp.full((1, t_mel), 60.0, jnp.float32)
+            pitch_ex = jnp.full((1, t_mel), 60.0, jnp.float32)
             mel2ph = jnp.ones((1, t_mel), jnp.int32)
             enc_extras = tuple(_enc_examples(t_ph))
             all_extras = enc_extras + tuple(_frame_examples(t_mel))
@@ -531,12 +538,11 @@ class DiffSingerVarianceExporter(BaseExporter):
                         self.export_dir / files["pitch"],
                     )
                 if model.var_list:
-                    pitch0 = jnp.full((1, t_mel), 60.0, jnp.float32)
                     files["variance"] = f"{name}.variance{suffix}.stablehlo"
                     self._serialize(
                         variance_view,
                         (self.params, jax.random.PRNGKey(0), tokens, midi, ph2word,
-                         ph_dur, mel2ph, base_pitch, pitch0, steps0, *all_extras),
+                         ph_dur, mel2ph, base_pitch, pitch_ex, steps0, *all_extras),
                         self.export_dir / files["variance"],
                     )
             if self.want_onnx:
@@ -563,7 +569,7 @@ class DiffSingerVarianceExporter(BaseExporter):
                 if model.var_list:
                     trb = hp["variances_prediction_args"]["total_repeat_bins"]
                     noise = jnp.zeros((1, t_mel, trb), jnp.float32)
-                    pitch = jnp.full((1, t_mel), 60.0, jnp.float32)
+                    pitch = pitch_ex
                     files["variance_onnx"] = f"{name}.variance{suffix}.onnx"
                     self._serialize_onnx(
                         variance_onnx,

@@ -107,26 +107,23 @@ class AcousticArtifactRuntime:
         t_txt, t_mel = tokens.shape[1], mel2ph.shape[1]
         bt, bm, files = self._pick_bucket(t_txt, t_mel)
         exp = self._artifact(files["acoustic"])
+        # the manifest records the ordered conditioning inputs appended to
+        # the graph signature; this runtime can default gender/velocity
+        # (neutral values exist) but not inputs whose neutral is undefined
         extras = []
-        if self.manifest.get("use_lang_id"):
-            # ordered before the curves in the export signature
-            raise NotImplementedError(
-                "multi-lingual bundles need a languages input; drive the "
-                "artifact directly via jax.export")
-        unsupported = [v for v in ("energy", "breathiness", "voicing", "tension")
-                       if self.manifest.get(f"use_{v}_embed")]
-        if unsupported:
-            raise NotImplementedError(
-                f"bundle expects variance-curve inputs {unsupported}; drive "
-                "the artifact directly via jax.export")
-        if self.manifest.get("use_key_shift_embed"):
-            g = np.zeros((1, t_mel), np.float32) if gender is None else \
-                np.asarray(gender, np.float32)
-            extras.append(_pad_axis1(g, bm))
-        if self.manifest.get("use_speed_embed"):
-            v = np.ones((1, t_mel), np.float32) if velocity is None else \
-                np.asarray(velocity, np.float32)
-            extras.append(_pad_axis1(v, bm, value=1.0))
+        for name in self.manifest.get("extra_inputs", []):
+            if name == "gender":
+                g = np.zeros((1, t_mel), np.float32) if gender is None else \
+                    np.asarray(gender, np.float32)
+                extras.append(_pad_axis1(g, bm))
+            elif name == "velocity":
+                v = np.ones((1, t_mel), np.float32) if velocity is None else \
+                    np.asarray(velocity, np.float32)
+                extras.append(_pad_axis1(v, bm, value=1.0))
+            else:
+                raise NotImplementedError(
+                    f"bundle expects a '{name}' input this runtime cannot "
+                    "default; drive the artifact directly via jax.export")
         out = exp.call(
             self.params,
             jax.random.PRNGKey(seed),
