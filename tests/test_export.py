@@ -148,6 +148,76 @@ def test_acoustic_export_gender_velocity_exposure(tmp_path):
     np.testing.assert_allclose(np.asarray(c0), np.asarray(cf), atol=1e-5)
 
 
+def test_acoustic_export_spk_input_and_freeze(tmp_path):
+    """Multi-speaker exports: by default the graph takes a frame-level
+    spk_embed input; --freeze_spk bakes a static mix (reference frozen spk
+    buffer) so the input disappears and the output equals feeding that mix."""
+    import json
+
+    hp = _make_exp(
+        tmp_path, str(pathlib.Path(__file__).resolve().parents[1] / "configs" / "acoustic.yaml"),
+        dict(
+            TINY_COMMON,
+            audio_num_mel_bins=16,
+            use_spk_id=True, num_spk=2,
+            backbone_args=dict(num_channels=32, num_layers=1, kernel_size=7,
+                               dropout_rate=0.0, strong_cond=True),
+            use_shallow_diffusion=False,
+        ),
+        "tiny_export_spk",
+    )
+    hp["infer"] = True
+    with open(pathlib.Path(hp["work_dir"]) / "spk_map.json", "w") as f:
+        json.dump({"alice": 0, "bob": 1}, f)
+
+    from diffsinger_tpu.models.toplevel import DiffSingerAcoustic
+    from diffsinger_tpu.utils.ckpt import checkpoint_path, save_checkpoint
+    from diffsinger_tpu.utils.text import load_phoneme_dictionary
+
+    vocab = len(load_phoneme_dictionary(hp))
+    model = DiffSingerAcoustic(hp, vocab_size=vocab, out_dims=16)
+    params = model.init(jax.random.PRNGKey(0))
+    save_checkpoint(checkpoint_path(hp["work_dir"], 100), params,
+                    category="acoustic", global_step=100)
+
+    from jax import export as jexport
+
+    from diffsinger_tpu.deployment.exporters import DiffSingerAcousticExporter
+
+    out_dir = tmp_path / "artifacts_spk"
+    exporter = DiffSingerAcousticExporter(hp, out_dir, buckets=[(16, 128)])
+    exporter.export()
+    with open(out_dir / "dsconfig.yaml") as f:
+        manifest = yaml.safe_load(f)
+    assert manifest["extra_inputs"] == ["spk_embed"]
+    assert sorted(manifest["speakers"]) == ["alice", "bob"]
+    assert (out_dir / "alice.emb").exists() and (out_dir / "bob.emb").exists()
+
+    tokens = jnp.zeros((1, 16), jnp.int32).at[0, :4].set(jnp.arange(1, 5))
+    mel2ph = jnp.zeros((1, 128), jnp.int32).at[0, :100].set(1)
+    f0 = jnp.full((1, 128), 220.0, jnp.float32)
+    mix = exporter._static_spk_mix_embed("alice:0.5|bob:0.5")
+    exp = jexport.deserialize(
+        (out_dir / manifest["buckets"]["16x128"]["fs2_aux"]).read_bytes())
+    spk_in = jnp.tile(jnp.asarray(mix)[None, None, :], (1, 128, 1))
+    c_input, _ = exp.call(exporter.params, tokens, mel2ph, f0, spk_in)
+
+    out_frozen = tmp_path / "artifacts_frozen_spk"
+    DiffSingerAcousticExporter(hp, out_frozen, buckets=[(16, 128)],
+                               freeze_spk="alice:0.5|bob:0.5").export()
+    with open(out_frozen / "dsconfig.yaml") as f:
+        m2 = yaml.safe_load(f)
+    assert m2["extra_inputs"] == []  # spk baked in
+    exp_f = jexport.deserialize(
+        (out_frozen / m2["buckets"]["16x128"]["fs2_aux"]).read_bytes())
+    c_frozen, _ = exp_f.call(exporter.params, tokens, mel2ph, f0)
+    np.testing.assert_allclose(np.asarray(c_input), np.asarray(c_frozen), atol=1e-5)
+    # the .emb file bytes round-trip to the table rows the mix was built from
+    alice = np.fromfile(out_dir / "alice.emb", np.float32)
+    bob = np.fromfile(out_dir / "bob.emb", np.float32)
+    np.testing.assert_allclose(0.5 * alice + 0.5 * bob, mix, rtol=1e-6)
+
+
 def test_export_forces_fp32_despite_bf16_infer_precision(tmp_path):
     """infer_precision: bf16 is a serving-time opt-in; exported artifacts
     stay fp32 (the ONNX emitter has no bfloat16, and reference-parity
