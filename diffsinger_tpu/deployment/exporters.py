@@ -118,24 +118,65 @@ class BaseExporter:
         print(f"| export: {path}")
         return path.name
 
-    def _export_spk_embeds(self, params, table_path: tuple, spk_map: dict):
+    # -- speaker policy (reference {acoustic,variance}_exporter.py:58-83) ----
+    def _resolve_spk_settings(self, export_spk, freeze_spk, spk_map):
+        """Reference default policy: with no explicit settings, a single-
+        speaker model freezes its one speaker; a multi-speaker model exports
+        every speaker. Returns ``(export_mixes, freeze_mix | None)`` with each
+        mix as ``(alias, {name: weight})``."""
+        from diffsinger_tpu.utils.infer_utils import parse_spk_settings
+
+        if not self.hparams.get("use_spk_id", False):
+            return [], None
+        export_mix, freeze_mix = parse_spk_settings(export_spk, freeze_spk)
+        assert not (export_mix and freeze_mix), (
+            "--export_spk is exclusive to --freeze_spk.")
+        if not export_mix and freeze_mix is None:
+            if len(spk_map) == 1:
+                only = next(iter(spk_map))
+                freeze_mix = (only, {only: 1.0})
+            else:
+                export_mix = [(name, {name: 1.0}) for name in spk_map]
+        return export_mix, freeze_mix
+
+    def _spk_table(self, params, table_path: tuple):
         node = params["params"]
         for part in table_path:
             if part not in node:
-                return
+                return None
             node = node[part]
-        table = np.asarray(node)
-        for name, idx in spk_map.items():
-            emb_path = self.export_dir / f"{name}.emb"
-            np.asarray(table[idx], dtype=np.float32).tofile(emb_path)
+        return np.asarray(node, np.float32)
+
+    def _spk_mix_embed(self, params, table_path: tuple, spk_map: dict,
+                       mix: dict) -> np.ndarray:
+        """Weighted speaker embedding [H] for a parsed proportions dict
+        (reference BaseExporter._perform_spk_mix)."""
+        table = self._spk_table(params, table_path)
+        out = np.zeros(table.shape[1], np.float32)
+        for name, weight in mix.items():
+            assert name in spk_map, f"Unknown speaker '{name}'."
+            out += weight * table[spk_map[name]]
+        return out
+
+    def _export_spk_embeds(self, params, table_path: tuple, spk_map: dict,
+                           export_mixes, model_name: str):
+        """One ``{model_name}.{alias}.emb`` per exported speaker mix
+        (reference acoustic_exporter.py:114-116, _export_spk_embed)."""
+        for alias, mix in export_mixes:
+            emb = self._spk_mix_embed(params, table_path, spk_map, mix)
+            emb_path = self.export_dir / f"{model_name}.{alias}.emb"
+            emb.tofile(emb_path)
             print(f"| export speaker: {emb_path}")
 
 
 class DiffSingerAcousticExporter(BaseExporter):
     DEFAULT_BUCKETS = ((64, 512),)
 
+    SPK_TABLE = ("fs2", "spk_embed", "embedding")
+
     def __init__(self, hparams, export_dir, ckpt_steps: Optional[int] = None,
-                 expose_gender=False, expose_velocity=False, freeze_spk=None,
+                 freeze_gender: Optional[float] = None, freeze_velocity=False,
+                 export_spk=None, freeze_spk=None,
                  buckets=None, fmt: str = "stablehlo"):
         super().__init__(hparams, export_dir, fmt=fmt)
         from diffsinger_tpu.inference.ds_acoustic import DiffSingerAcousticInfer
@@ -143,13 +184,18 @@ class DiffSingerAcousticExporter(BaseExporter):
         self.infer = DiffSingerAcousticInfer(self.hparams, load_vocoder=False, ckpt_steps=ckpt_steps)
         self.model = self.infer.model
         self.params = self.infer.params
-        # reference exposure semantics (acoustic_exporter.py:138-145): the
-        # gender/velocity inputs exist only when exposed; otherwise the
-        # neutral value (key_shift 0 / speed 1) is frozen into the graph.
-        # freeze_spk bakes a static speaker mix instead of a spk_embed input.
-        self.expose_gender = bool(expose_gender)
-        self.expose_velocity = bool(expose_velocity)
-        self.freeze_spk = freeze_spk
+        # reference exposure semantics (acoustic_exporter.py:58-66): the
+        # gender/velocity inputs exist UNLESS frozen; ``--freeze_gender g``
+        # bakes the mapped key_shift (g*shift_max for g>=0 else g*|shift_min|)
+        # and ``--freeze_velocity`` bakes speed 1 into the graph.
+        self.expose_gender = freeze_gender is None
+        self.freeze_gender = 0.0 if freeze_gender is None else float(freeze_gender)
+        assert -1.0 <= self.freeze_gender <= 1.0, "freeze_gender must be in [-1, 1]"
+        self.expose_velocity = not freeze_velocity
+        # speaker policy (acoustic_exporter.py:70-81): freeze bakes a static
+        # mix instead of a spk_embed input; export writes .emb attachments.
+        self.export_spk, self.freeze_spk = self._resolve_spk_settings(
+            export_spk, freeze_spk, self.infer.spk_map)
         # (t_txt, t_mel) shape set; StableHLO is fixed-shape, so a serving
         # runtime picks the smallest bucket that fits (the reference sidesteps
         # this with ONNX dynamic axes; here each bucket is one artifact).
@@ -158,19 +204,21 @@ class DiffSingerAcousticExporter(BaseExporter):
         self.bucket_files: dict = {}
         self._extra_names: list = []  # filled by export_model
 
+    @property
+    def model_name(self) -> str:
+        """Artifact file stem; a frozen speaker adds its alias
+        (reference acoustic_exporter.py:96-99)."""
+        name = self.hparams["exp_name"] or "acoustic"
+        if self.freeze_spk is not None:
+            name += "." + self.freeze_spk[0]
+        return name
+
     def _static_spk_mix_embed(self, mix_spec: str) -> np.ndarray:
-        """Weighted speaker embedding for --freeze_spk 'a:0.6|b:0.4'
-        (reference acoustic_exporter.py frozen spk buffer). Returns [H]."""
+        """Weighted speaker embedding [H] for a mix pattern 'a:0.6|b:0.4'."""
         from diffsinger_tpu.utils.infer_utils import parse_commandline_spk_mix
 
-        mix = parse_commandline_spk_mix(mix_spec)
-        table = np.asarray(
-            self.params["params"]["fs2"]["spk_embed"]["embedding"], np.float32)
-        out = np.zeros(table.shape[1], np.float32)
-        for name, weight in mix.items():
-            assert name in self.infer.spk_map, f"Unknown speaker '{name}'."
-            out += weight * table[self.infer.spk_map[name]]
-        return out
+        return self._spk_mix_embed(self.params, self.SPK_TABLE, self.infer.spk_map,
+                                   parse_commandline_spk_mix(mix_spec))
 
     def export_model(self):
         import jax
@@ -178,7 +226,7 @@ class DiffSingerAcousticExporter(BaseExporter):
 
         hp = self.hparams
         model = self.model
-        name = hp["exp_name"] or "acoustic"
+        name = self.model_name
         # example values only — depth/steps are *runtime* inputs of the
         # exported graphs (reference deployment contract,
         # deployment/exporters/acoustic_exporter.py:256-311: 'depth' input iff
@@ -204,9 +252,11 @@ class DiffSingerAcousticExporter(BaseExporter):
                                 lambda v: {"languages": v}))
         if hp.get("use_spk_id", False):
             hidden = hp["hidden_size"]
-            if self.freeze_spk:
+            if self.freeze_spk is not None:
                 frozen_kwargs["spk_mix_embed"] = jnp.asarray(
-                    self._static_spk_mix_embed(self.freeze_spk))[None, None, :]
+                    self._spk_mix_embed(self.params, self.SPK_TABLE,
+                                        self.infer.spk_map, self.freeze_spk[1])
+                )[None, None, :]
             else:
                 extra_specs.append(("spk_embed",
                                     lambda tt, tm: jnp.zeros((1, tm, hidden), jnp.float32),
@@ -229,7 +279,15 @@ class DiffSingerAcousticExporter(BaseExporter):
                                     lambda tt, tm: jnp.zeros((1, tm), jnp.float32),
                                     _gender_kw))
             else:
-                frozen_kwargs["key_shift"] = jnp.zeros((1, 1), jnp.float32)
+                # bake the mapped --freeze_gender value
+                # (reference acoustic_exporter.py:64-66)
+                g = self.freeze_gender
+                if g == 0.0:
+                    shift = 0.0
+                else:
+                    shift_min, shift_max = hp["augmentation_args"]["random_pitch_shifting"]["range"]
+                    shift = g * float(shift_max) if g >= 0 else g * abs(float(shift_min))
+                frozen_kwargs["key_shift"] = jnp.full((1, 1), shift, jnp.float32)
         if hp.get("use_speed_embed", False):
             if self.expose_velocity:
                 speed_min, speed_max = hp["augmentation_args"]["random_time_stretching"]["range"]
@@ -333,7 +391,7 @@ class DiffSingerAcousticExporter(BaseExporter):
         manifest = {
             "flavor": self.fmt,
             "acoustic": first.get("acoustic_onnx" if self.fmt == "onnx" else "acoustic",
-                                  f"{hp['exp_name'] or 'acoustic'}.diffusion.stablehlo"),
+                                  f"{self.model_name}.diffusion.stablehlo"),
             "vocoder": hp.get("vocoder", "NsfHifiGAN"),
             "phonemes": "phonemes.json",
             "hidden_size": hp["hidden_size"],
@@ -371,7 +429,10 @@ class DiffSingerAcousticExporter(BaseExporter):
                 if hp.get("diffusion_type", "ddpm") == "ddpm"
                 else 1.0 - float(hp.get("T_start_infer", hp.get("T_start", 0.4)))
             ),
-            "speakers": sorted(self.infer.spk_map) if self.infer.spk_map else [],
+            # exported speaker-mix .emb stems (reference
+            # acoustic_exporter.py:135-136); empty when the mix is frozen in
+            "speakers": [f"{self.hparams['exp_name'] or 'acoustic'}.{alias}"
+                         for alias, _ in self.export_spk],
             # ordered conditioning inputs appended to every graph's signature
             # after (tokens, mel2ph, f0[, depth, steps, noise]); consumers use
             # this instead of re-deriving the set from the flags above
@@ -394,14 +455,17 @@ class DiffSingerAcousticExporter(BaseExporter):
         print(f"| export: {self.export_dir / 'dsconfig.yaml'}")
         self._export_phonemes(self.infer.phoneme_dictionary)
         self._export_dictionaries()
-        if self.infer.spk_map:
-            self._export_spk_embeds(self.params, ("fs2", "spk_embed", "embedding"), self.infer.spk_map)
+        self._export_spk_embeds(self.params, self.SPK_TABLE, self.infer.spk_map,
+                                self.export_spk,
+                                self.hparams["exp_name"] or "acoustic")
 
 
 class DiffSingerVarianceExporter(BaseExporter):
     DEFAULT_BUCKETS = ((64, 512),)
+    SPK_TABLE = ("spk_embed", "embedding")
 
     def __init__(self, hparams, export_dir, ckpt_steps: Optional[int] = None,
+                 export_spk=None, freeze_spk=None,
                  buckets=None, fmt: str = "stablehlo"):
         super().__init__(hparams, export_dir, fmt=fmt)
         from diffsinger_tpu.inference.ds_variance import DiffSingerVarianceInfer
@@ -409,8 +473,19 @@ class DiffSingerVarianceExporter(BaseExporter):
         self.infer = DiffSingerVarianceInfer(self.hparams, ckpt_steps=ckpt_steps, predictions=set())
         self.model = self.infer.model
         self.params = self.infer.params
+        # speaker policy shared with the acoustic exporter
+        # (reference variance_exporter.py:68-83)
+        self.export_spk, self.freeze_spk = self._resolve_spk_settings(
+            export_spk, freeze_spk, self.infer.spk_map)
         self.buckets = [tuple(b) for b in (buckets or self.DEFAULT_BUCKETS)]
         self.bucket_files: dict = {}
+
+    @property
+    def model_name(self) -> str:
+        name = self.hparams["exp_name"] or "variance"
+        if self.freeze_spk is not None:
+            name += "." + self.freeze_spk[0]
+        return name
 
     def export_model(self):
         import jax
@@ -418,39 +493,50 @@ class DiffSingerVarianceExporter(BaseExporter):
 
         hp = self.hparams
         model = self.model
-        name = hp["exp_name"] or "variance"
+        name = self.model_name
 
         # Conditioning inputs exist iff the corresponding flag is on: the
         # token-level speaker embedding feeds the encoder, the frame-level one
         # feeds the sampling condition (toplevel.py encode/frame_condition);
-        # languages feed the encoder on multi-lingual models.
+        # languages feed the encoder on multi-lingual models. A frozen speaker
+        # mix is baked in instead of the spk inputs (reference
+        # variance_exporter.py:82-83 frozen_spk_embed buffer).
         hidden = hp["hidden_size"]
         use_spk = hp.get("use_spk_id", False)
         use_lang = hp.get("use_lang_id", False)
-        enc_extra_names = (["ph_spk_embed"] if use_spk else []) + (
+        frozen_spk = None
+        if use_spk and self.freeze_spk is not None:
+            frozen_spk = jnp.asarray(self._spk_mix_embed(
+                self.params, self.SPK_TABLE, self.infer.spk_map, self.freeze_spk[1]
+            ))[None, None, :]
+        spk_input = use_spk and frozen_spk is None
+        enc_extra_names = (["ph_spk_embed"] if spk_input else []) + (
             ["languages"] if use_lang else [])
-        frame_extra_names = (["spk_embed"] if use_spk else [])
+        frame_extra_names = (["spk_embed"] if spk_input else [])
 
         def _enc_examples(t_ph):
             out = []
-            if use_spk:
+            if spk_input:
                 out.append(jnp.zeros((1, 1, hidden), jnp.float32))
             if use_lang:
                 out.append(jnp.zeros((1, t_ph), jnp.int32))
             return out
 
         def _frame_examples(t_mel):
-            return [jnp.zeros((1, 1, hidden), jnp.float32)] if use_spk else []
+            return [jnp.zeros((1, 1, hidden), jnp.float32)] if spk_input else []
 
         def _split_extras(extra_args):
             kwargs = {}
             it = iter(extra_args)
-            if use_spk:
+            if spk_input:
                 kwargs["ph_spk_mix_embed"] = next(it)
             if use_lang:
                 kwargs["languages"] = next(it)
-            if use_spk:
+            if spk_input:
                 kwargs["spk_mix_embed"] = next(it, None)
+            if frozen_spk is not None:
+                kwargs["ph_spk_mix_embed"] = frozen_spk
+                kwargs["spk_mix_embed"] = frozen_spk
             kwargs = {k: v for k, v in kwargs.items() if v is not None}
             return kwargs
 
@@ -590,7 +676,7 @@ class DiffSingerVarianceExporter(BaseExporter):
             "flavor": self.fmt,
             "linguistic": first.get(
                 "linguistic_onnx" if self.fmt == "onnx" else "linguistic",
-                f"{hp['exp_name'] or 'variance'}.linguistic_dur.stablehlo"),
+                f"{self.model_name}.linguistic_dur.stablehlo"),
             "phonemes": "phonemes.json",
             "hidden_size": hp["hidden_size"],
             "predict_dur": hp["predict_dur"],
@@ -600,7 +686,8 @@ class DiffSingerVarianceExporter(BaseExporter):
             "sampling_steps": hp.get("sampling_steps", 20),
             "sample_rate": hp["audio_sample_rate"],
             "hop_size": hp["hop_size"],
-            "speakers": sorted(self.infer.spk_map) if self.infer.spk_map else [],
+            "speakers": [f"{hp['exp_name'] or 'variance'}.{alias}"
+                         for alias, _ in self.export_spk],
             "buckets": self.bucket_files,
         }
         manifest["use_lang_id"] = bool(hp.get("use_lang_id", False))
@@ -611,8 +698,9 @@ class DiffSingerVarianceExporter(BaseExporter):
             yaml.safe_dump(manifest, f)
         self._export_phonemes(self.infer.phoneme_dictionary)
         self._export_dictionaries()
-        if self.infer.spk_map:
-            self._export_spk_embeds(self.params, ("spk_embed", "embedding"), self.infer.spk_map)
+        self._export_spk_embeds(self.params, self.SPK_TABLE, self.infer.spk_map,
+                                self.export_spk,
+                                self.hparams["exp_name"] or "variance")
 
 
 class NSFHiFiGANExporter(BaseExporter):

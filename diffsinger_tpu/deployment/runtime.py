@@ -95,8 +95,8 @@ class AcousticArtifactRuntime:
         ``depth``/``steps`` are runtime inputs of the exported sampler
         (the reference's deployed ONNX contract) — defaulting to the
         manifest's ``max_depth`` and ``sampling_steps``. ``gender``/
-        ``velocity`` curves [1, T_mel] feed models exported with
-        --expose_gender/--expose_velocity (manifest use_key_shift_embed /
+        ``velocity`` curves [1, T_mel] feed models exported without
+        --freeze_gender/--freeze_velocity (manifest use_key_shift_embed /
         use_speed_embed); neutral defaults otherwise."""
         import jax
 

@@ -45,21 +45,33 @@ def _parse_buckets(value):
 @click.option("--exp", type=str, required=True, callback=lambda c, p, v: find_exp(v))
 @click.option("--ckpt", type=click.IntRange(min=0), required=False)
 @click.option("--out", type=click.Path(file_okay=False, path_type=pathlib.Path), required=False)
-@click.option("--expose_gender", is_flag=True)
-@click.option("--expose_velocity", is_flag=True)
-@click.option("--freeze_spk", type=str, required=False)
+@click.option("--freeze_gender", type=click.FloatRange(min=-1, max=1), required=False,
+              help="(for random pitch shifting) freeze this gender value into the "
+                   "model instead of exposing a runtime `gender` input")
+@click.option("--freeze_velocity", is_flag=True,
+              help="(for random time stretching) freeze the default velocity "
+                   "instead of exposing a runtime `velocity` input")
+@click.option("--export_spk", type=str, multiple=True,
+              help="(multi-speaker) speaker or 'alias=mix' to export as .emb; "
+                   "repeatable")
+@click.option("--freeze_spk", type=str, required=False,
+              help="(multi-speaker) speaker or 'alias=mix' to freeze into the model")
 @click.option("--buckets", type=str, required=False,
               help="shape set, e.g. '64x512,128x1024' (t_txt x t_mel per bucket)")
 @click.option("--format", "fmt", type=click.Choice(["stablehlo", "onnx", "both"]),
               default="stablehlo", help="artifact format (onnx = OpenUTAU-style graphs)")
-def acoustic(exp, ckpt, out, expose_gender, expose_velocity, freeze_spk, buckets, fmt):
+def acoustic(exp, ckpt, out, freeze_gender, freeze_velocity, export_spk, freeze_spk,
+             buckets, fmt):
+    if export_spk and freeze_spk:
+        raise click.UsageError("--export_spk is exclusive to --freeze_spk.")
     hp = _load_hp(exp, acoustic=True)
     out = out or (root_dir / "artifacts" / exp)
     from diffsinger_tpu.deployment.exporters import DiffSingerAcousticExporter
 
     DiffSingerAcousticExporter(
         hp, out, ckpt_steps=ckpt,
-        expose_gender=expose_gender, expose_velocity=expose_velocity, freeze_spk=freeze_spk,
+        freeze_gender=freeze_gender, freeze_velocity=freeze_velocity,
+        export_spk=list(export_spk), freeze_spk=freeze_spk,
         buckets=_parse_buckets(buckets), fmt=fmt,
     ).export()
 
@@ -68,16 +80,24 @@ def acoustic(exp, ckpt, out, expose_gender, expose_velocity, freeze_spk, buckets
 @click.option("--exp", type=str, required=True, callback=lambda c, p, v: find_exp(v))
 @click.option("--ckpt", type=click.IntRange(min=0), required=False)
 @click.option("--out", type=click.Path(file_okay=False, path_type=pathlib.Path), required=False)
+@click.option("--export_spk", type=str, multiple=True,
+              help="(multi-speaker) speaker or 'alias=mix' to export as .emb; "
+                   "repeatable")
+@click.option("--freeze_spk", type=str, required=False,
+              help="(multi-speaker) speaker or 'alias=mix' to freeze into the model")
 @click.option("--buckets", type=str, required=False,
               help="shape set, e.g. '64x512,128x1024' (t_ph x t_mel per bucket)")
 @click.option("--format", "fmt", type=click.Choice(["stablehlo", "onnx", "both"]),
               default="stablehlo", help="artifact format (onnx = OpenUTAU-style graphs)")
-def variance(exp, ckpt, out, buckets, fmt):
+def variance(exp, ckpt, out, export_spk, freeze_spk, buckets, fmt):
+    if export_spk and freeze_spk:
+        raise click.UsageError("--export_spk is exclusive to --freeze_spk.")
     hp = _load_hp(exp, acoustic=False)
     out = out or (root_dir / "artifacts" / exp)
     from diffsinger_tpu.deployment.exporters import DiffSingerVarianceExporter
 
     DiffSingerVarianceExporter(hp, out, ckpt_steps=ckpt,
+                               export_spk=list(export_spk), freeze_spk=freeze_spk,
                                buckets=_parse_buckets(buckets), fmt=fmt).export()
 
 

@@ -80,10 +80,11 @@ def test_acoustic_export_roundtrip(tmp_path):
 
 def test_acoustic_export_gender_velocity_exposure(tmp_path):
     """Models trained with key_shift/speed embeds export correctly (this
-    crashed before the conditional-inputs fix): --expose_gender adds a live
-    `gender` input with the reference's in-graph range mapping
-    (deployment/modules/fastspeech2.py:107-123); unexposed speed freezes the
-    neutral value into the graph."""
+    crashed before the conditional-inputs fix): gender is exposed by default
+    as a live input with the reference's in-graph range mapping
+    (deployment/modules/fastspeech2.py:107-123); --freeze_velocity /
+    --freeze_gender bake the mapped value into the graph
+    (reference acoustic_exporter.py:58-66)."""
     hp = _make_exp(
         tmp_path, str(pathlib.Path(__file__).resolve().parents[1] / "configs" / "acoustic.yaml"),
         dict(
@@ -113,7 +114,7 @@ def test_acoustic_export_gender_velocity_exposure(tmp_path):
 
     out_dir = tmp_path / "artifacts_exposed"
     exporter = DiffSingerAcousticExporter(
-        hp, out_dir, expose_gender=True, expose_velocity=False,
+        hp, out_dir, freeze_velocity=True,  # gender exposed by default
         buckets=[(16, 128)])
     exporter.export()
 
@@ -138,7 +139,8 @@ def test_acoustic_export_gender_velocity_exposure(tmp_path):
 
     # frozen variant: no gender input, condition equals gender=0
     out_frozen = tmp_path / "artifacts_frozen"
-    DiffSingerAcousticExporter(hp, out_frozen, buckets=[(16, 128)]).export()
+    DiffSingerAcousticExporter(hp, out_frozen, freeze_gender=0.0,
+                               freeze_velocity=True, buckets=[(16, 128)]).export()
     with open(out_frozen / "dsconfig.yaml") as f:
         m2 = yaml.safe_load(f)
     assert m2["use_key_shift_embed"] is False and "augmentation_args" not in m2
@@ -146,6 +148,17 @@ def test_acoustic_export_gender_velocity_exposure(tmp_path):
         (out_frozen / next(iter(m2["buckets"].values()))["fs2_aux"]).read_bytes())
     cf, _ = exp_f.call(exporter.params, tokens, mel2ph, f0)
     np.testing.assert_allclose(np.asarray(c0), np.asarray(cf), atol=1e-5)
+
+    # non-neutral --freeze_gender bakes the same mapping the live input uses
+    out_g = tmp_path / "artifacts_frozen_g9"
+    DiffSingerAcousticExporter(hp, out_g, freeze_gender=0.9,
+                               freeze_velocity=True, buckets=[(16, 128)]).export()
+    with open(out_g / "dsconfig.yaml") as f:
+        m3 = yaml.safe_load(f)
+    exp_g = jexport.deserialize(
+        (out_g / next(iter(m3["buckets"].values()))["fs2_aux"]).read_bytes())
+    cg, _ = exp_g.call(exporter.params, tokens, mel2ph, f0)
+    np.testing.assert_allclose(np.asarray(c1), np.asarray(cg), atol=1e-5)
 
 
 def test_acoustic_export_spk_input_and_freeze(tmp_path):
@@ -190,8 +203,12 @@ def test_acoustic_export_spk_input_and_freeze(tmp_path):
     with open(out_dir / "dsconfig.yaml") as f:
         manifest = yaml.safe_load(f)
     assert manifest["extra_inputs"] == ["spk_embed"]
-    assert sorted(manifest["speakers"]) == ["alice", "bob"]
-    assert (out_dir / "alice.emb").exists() and (out_dir / "bob.emb").exists()
+    # default multi-speaker policy: export every speaker, stems prefixed by
+    # the model name (reference acoustic_exporter.py:70-81, 135-136)
+    assert sorted(manifest["speakers"]) == [
+        "acoustic.alice", "acoustic.bob"]
+    assert (out_dir / "acoustic.alice.emb").exists()
+    assert (out_dir / "acoustic.bob.emb").exists()
 
     tokens = jnp.zeros((1, 16), jnp.int32).at[0, :4].set(jnp.arange(1, 5))
     mel2ph = jnp.zeros((1, 128), jnp.int32).at[0, :100].set(1)
@@ -204,18 +221,30 @@ def test_acoustic_export_spk_input_and_freeze(tmp_path):
 
     out_frozen = tmp_path / "artifacts_frozen_spk"
     DiffSingerAcousticExporter(hp, out_frozen, buckets=[(16, 128)],
-                               freeze_spk="alice:0.5|bob:0.5").export()
+                               freeze_spk="duo=alice:0.5|bob:0.5").export()
     with open(out_frozen / "dsconfig.yaml") as f:
         m2 = yaml.safe_load(f)
     assert m2["extra_inputs"] == []  # spk baked in
-    exp_f = jexport.deserialize(
-        (out_frozen / m2["buckets"]["16x128"]["fs2_aux"]).read_bytes())
+    assert m2["speakers"] == []  # frozen, nothing to export
+    frozen_file = m2["buckets"]["16x128"]["fs2_aux"]
+    assert ".duo." in frozen_file  # freeze alias suffixes the artifact stem
+    exp_f = jexport.deserialize((out_frozen / frozen_file).read_bytes())
     c_frozen, _ = exp_f.call(exporter.params, tokens, mel2ph, f0)
     np.testing.assert_allclose(np.asarray(c_input), np.asarray(c_frozen), atol=1e-5)
     # the .emb file bytes round-trip to the table rows the mix was built from
-    alice = np.fromfile(out_dir / "alice.emb", np.float32)
-    bob = np.fromfile(out_dir / "bob.emb", np.float32)
+    alice = np.fromfile(out_dir / "acoustic.alice.emb", np.float32)
+    bob = np.fromfile(out_dir / "acoustic.bob.emb", np.float32)
     np.testing.assert_allclose(0.5 * alice + 0.5 * bob, mix, rtol=1e-6)
+
+    # --export_spk with an aliased mixture writes exactly that .emb
+    out_mix = tmp_path / "artifacts_export_mix"
+    DiffSingerAcousticExporter(hp, out_mix, buckets=[(16, 128)],
+                               export_spk=["duo=alice:0.5|bob:0.5"]).export()
+    with open(out_mix / "dsconfig.yaml") as f:
+        m3 = yaml.safe_load(f)
+    assert m3["speakers"] == ["acoustic.duo"]
+    duo = np.fromfile(out_mix / "acoustic.duo.emb", np.float32)
+    np.testing.assert_allclose(duo, mix, rtol=1e-6)
 
 
 def test_export_forces_fp32_despite_bf16_infer_precision(tmp_path):

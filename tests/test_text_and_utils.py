@@ -140,3 +140,25 @@ def test_trans_key_transposes_notes_and_f0():
     assert back[0]["note_seq"] == "A4 rest C#4"
 
 
+
+
+def test_parse_spk_settings():
+    """Exporter speaker-setting parsing (reference scripts/export.py:43-70):
+    plain names, 'alias=mix' aliases, and the multi-speaker-freeze alias
+    requirement."""
+    from diffsinger_tpu.utils.infer_utils import parse_spk_settings
+
+    export, freeze = parse_spk_settings(["alice", "duo=alice:0.5|bob:0.5"], None)
+    assert export[0] == ("alice", {"alice": 1.0})
+    assert export[1][0] == "duo" and export[1][1] == {"alice": 0.5, "bob": 0.5}
+    assert freeze is None
+
+    _, freeze = parse_spk_settings(None, "bob")
+    assert freeze == ("bob", {"bob": 1.0})
+    _, freeze = parse_spk_settings(None, "mix=alice|bob")
+    assert freeze[0] == "mix" and freeze[1] == {"alice": 0.5, "bob": 0.5}
+
+    import pytest
+
+    with pytest.raises(AssertionError, match="alias"):
+        parse_spk_settings(None, "alice:0.5|bob:0.5")  # mixture needs an alias
