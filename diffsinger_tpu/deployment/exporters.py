@@ -465,6 +465,7 @@ class DiffSingerVarianceExporter(BaseExporter):
     SPK_TABLE = ("spk_embed", "embedding")
 
     def __init__(self, hparams, export_dir, ckpt_steps: Optional[int] = None,
+                 freeze_expr=False, freeze_glide=False,
                  export_spk=None, freeze_spk=None,
                  buckets=None, fmt: str = "stablehlo"):
         super().__init__(hparams, export_dir, fmt=fmt)
@@ -473,6 +474,12 @@ class DiffSingerVarianceExporter(BaseExporter):
         self.infer = DiffSingerVarianceInfer(self.hparams, ckpt_steps=ckpt_steps, predictions=set())
         self.model = self.infer.model
         self.params = self.infer.params
+        # reference exposure semantics (variance_exporter.py:66-67): the
+        # `expr` (pitch expressiveness) input exists unless frozen; the
+        # `note_glide` input exists on melody-encoder models with glide
+        # embeds unless frozen.
+        self.expose_expr = not freeze_expr
+        self.freeze_glide = bool(freeze_glide)
         # speaker policy shared with the acoustic exporter
         # (reference variance_exporter.py:68-83)
         self.export_spk, self.freeze_spk = self._resolve_spk_settings(
@@ -550,64 +557,109 @@ class DiffSingerVarianceExporter(BaseExporter):
             )
             return enc, dur
 
-        # `steps` is a *runtime* input of the sampling views, matching the
-        # reference's pitch/variance predictor ONNX (variance_exporter.py:
-        # 424-429, 571-576: 'steps' input on both).
+        # Deployed sampling views (reference deployment contract,
+        # variance_exporter.py:312-530 / deployment/modules/toplevel.py:224-302):
+        # they start from the linguistic view's `encoder_out`, take integer
+        # frame durations, the current `pitch`/curves, a `retake` mask, and
+        # optional `expr`/note inputs, and compute alignment + base pitch +
+        # retake blending in-graph. `steps` is a runtime input of both.
         steps0 = jnp.int32(hp.get("sampling_steps", 20))
+        use_melody = model.use_melody_encoder
+        use_glide = (use_melody and hp.get("use_glide_embed", False)
+                     and not self.freeze_glide)
+        expose_expr = self.expose_expr
 
-        def pitch_view(params, rng, tokens, midi, ph2word, ph_dur, mel2ph,
-                       base_pitch, steps, *extra):
-            dur_pred, pitch_pred, _ = model.forward_infer(
-                params, rng, tokens, midi, ph2word, base_pitch,
-                ph_dur=ph_dur, mel2ph=mel2ph, predict_variances=False,
-                steps=steps, **_split_extras(extra),
-            )
-            return pitch_pred
+        pitch_in_names = (
+            ["encoder_out", "ph_dur", "note_midi"]
+            + (["note_rest"] if use_melody else [])
+            + ["note_dur"]
+            + (["note_glide"] if use_glide else [])
+            + ["pitch"]
+            + (["expr"] if expose_expr else [])
+            + ["retake", *frame_extra_names, "steps"]
+        )
 
-        def variance_view(params, rng, tokens, midi, ph2word, ph_dur, mel2ph,
-                          base_pitch, pitch, steps, *extra):
-            _, _, var_pred = model.forward_infer(
-                params, rng, tokens, midi, ph2word, base_pitch,
-                ph_dur=ph_dur, mel2ph=mel2ph, pitch=pitch, predict_pitch=False,
-                steps=steps, **_split_extras(extra),
-            )
-            return tuple(var_pred[v] for v in model.var_list)
+        def _split_pitch_args(args):
+            """(encoder_out, ph_dur, note_midi, positionals...) in
+            ``pitch_in_names`` order -> forward_pitch_deployed arguments."""
+            it = iter(args)
+            enc, ph_dur, note_midi = next(it), next(it), next(it)
+            note_rest = next(it) if use_melody else None
+            note_dur = next(it)
+            note_glide = next(it) if use_glide else None
+            if note_glide is None and use_melody and hp.get("use_glide_embed", False):
+                # frozen glide: the embedding stays in the graph at glide=none
+                # (reference variance_exporter.py:314)
+                note_glide = jnp.zeros((1, note_midi.shape[1]), jnp.int32)
+            pitch = next(it)
+            expr = next(it) if expose_expr else None
+            retake = next(it)
+            spk = next(it) if spk_input else frozen_spk
+            steps = next(it)
+            return (enc, ph_dur, note_midi, note_dur, pitch, retake), dict(
+                note_rest=note_rest, note_glide=note_glide, expr=expr,
+                spk_mix_embed=spk, steps=steps)
+
+        def pitch_view(params, rng, *args):
+            pos, kw = _split_pitch_args(args)
+            return model.forward_pitch_deployed(params, rng, *pos, **kw)
+
+        var_in_names = (["encoder_out", "ph_dur", "pitch", *model.var_list,
+                         "retake", *frame_extra_names, "steps"])
+
+        def _split_var_args(args):
+            it = iter(args)
+            enc, ph_dur, pitch = next(it), next(it), next(it)
+            variances = {v: next(it) for v in model.var_list}
+            retake = next(it)
+            spk = next(it) if spk_input else frozen_spk
+            steps = next(it)
+            return (enc, ph_dur, pitch, variances, retake), dict(
+                spk_mix_embed=spk, steps=steps)
+
+        def variance_view(params, rng, *args):
+            pos, kw = _split_var_args(args)
+            return model.forward_variance_deployed(params, rng, *pos, **kw)
 
         key = jax.random.PRNGKey(0)
 
         def linguistic_onnx(tokens, midi, ph2word, word_dur, *extra):
             return linguistic_dur(self.params, tokens, midi, ph2word, word_dur, *extra)
 
-        def pitch_onnx(tokens, midi, ph2word, ph_dur, mel2ph, base_pitch, steps,
-                       noise, *extra):
-            _, pitch_pred, _ = model.forward_infer(
-                self.params, key, tokens, midi, ph2word, base_pitch,
-                ph_dur=ph_dur, mel2ph=mel2ph, predict_variances=False,
-                steps=steps, noise_pitch=noise, **_split_extras(extra),
-            )
-            return pitch_pred
+        def _pitch_examples(t_ph, t_mel):
+            out = [jnp.zeros((1, t_ph, hidden), jnp.float32),          # encoder_out
+                   jnp.ones((1, t_ph), jnp.int32),                     # ph_dur (frames)
+                   jnp.full((1, t_ph), 60.0, jnp.float32)]             # note_midi
+            if use_melody:
+                out.append(jnp.zeros((1, t_ph), bool))                 # note_rest
+            out.append(jnp.ones((1, t_ph), jnp.int32))                 # note_dur
+            if use_glide:
+                out.append(jnp.zeros((1, t_ph), jnp.int32))            # note_glide
+            out.append(jnp.full((1, t_mel), 60.0, jnp.float32))        # pitch
+            if expose_expr:
+                out.append(jnp.ones((1, t_mel), jnp.float32))          # expr
+            out.append(jnp.ones((1, t_mel), bool))                     # retake
+            out.extend(_frame_examples(t_mel))                         # [spk_embed]
+            return out
 
-        def variance_onnx(tokens, midi, ph2word, ph_dur, mel2ph, base_pitch,
-                          pitch, steps, noise, *extra):
-            _, _, var_pred = model.forward_infer(
-                self.params, key, tokens, midi, ph2word, base_pitch,
-                ph_dur=ph_dur, mel2ph=mel2ph, pitch=pitch, predict_pitch=False,
-                steps=steps, noise_variances=noise, **_split_extras(extra),
-            )
-            return tuple(var_pred[v] for v in model.var_list)
+        def _var_examples(t_ph, t_mel):
+            out = [jnp.zeros((1, t_ph, hidden), jnp.float32),
+                   jnp.ones((1, t_ph), jnp.int32),
+                   jnp.full((1, t_mel), 60.0, jnp.float32)]
+            out.extend(jnp.zeros((1, t_mel), jnp.float32) for _ in model.var_list)
+            out.append(jnp.ones((1, t_mel, len(model.var_list)), bool))
+            out.extend(_frame_examples(t_mel))
+            return out
 
         for i, (t_ph, t_mel) in enumerate(self.buckets):
             suffix = "" if i == 0 else f".b{t_ph}x{t_mel}"
             tokens = jnp.zeros((1, t_ph), jnp.int32)
             midi = jnp.zeros((1, t_ph), jnp.int32)
             ph2word = jnp.zeros((1, t_ph), jnp.int32)
-            ph_dur = jnp.ones((1, t_ph), jnp.float32)
             word_dur = jnp.ones((1, t_ph), jnp.float32)
-            base_pitch = jnp.full((1, t_mel), 60.0, jnp.float32)
-            pitch_ex = jnp.full((1, t_mel), 60.0, jnp.float32)
-            mel2ph = jnp.ones((1, t_mel), jnp.int32)
             enc_extras = tuple(_enc_examples(t_ph))
-            all_extras = enc_extras + tuple(_frame_examples(t_mel))
+            pitch_ex = tuple(_pitch_examples(t_ph, t_mel))
+            var_ex = tuple(_var_examples(t_ph, t_mel))
             files = {}
             if self.want_stablehlo:
                 files["linguistic"] = f"{name}.linguistic_dur{suffix}.stablehlo"
@@ -619,16 +671,14 @@ class DiffSingerVarianceExporter(BaseExporter):
                     files["pitch"] = f"{name}.pitch{suffix}.stablehlo"
                     self._serialize(
                         pitch_view,
-                        (self.params, jax.random.PRNGKey(0), tokens, midi, ph2word, ph_dur,
-                         mel2ph, base_pitch, steps0, *all_extras),
+                        (self.params, jax.random.PRNGKey(0), *pitch_ex, steps0),
                         self.export_dir / files["pitch"],
                     )
                 if model.var_list:
                     files["variance"] = f"{name}.variance{suffix}.stablehlo"
                     self._serialize(
                         variance_view,
-                        (self.params, jax.random.PRNGKey(0), tokens, midi, ph2word,
-                         ph_dur, mel2ph, base_pitch, pitch_ex, steps0, *all_extras),
+                        (self.params, jax.random.PRNGKey(0), *var_ex, steps0),
                         self.export_dir / files["variance"],
                     )
             if self.want_onnx:
@@ -642,29 +692,34 @@ class DiffSingerVarianceExporter(BaseExporter):
                 if model.predict_pitch:
                     rb = hp["pitch_prediction_args"]["repeat_bins"]
                     noise = jnp.zeros((1, t_mel, rb), jnp.float32)
+
+                    def pitch_onnx(*args):
+                        *ins, nz = args
+                        pos, kw = _split_pitch_args(ins)
+                        return model.forward_pitch_deployed(
+                            self.params, key, *pos, noise=nz, **kw)
+
                     files["pitch_onnx"] = f"{name}.pitch{suffix}.onnx"
                     self._serialize_onnx(
-                        pitch_onnx,
-                        (tokens, midi, ph2word, ph_dur, mel2ph, base_pitch, steps0,
-                         noise, *all_extras),
+                        pitch_onnx, (*pitch_ex, steps0, noise),
                         self.export_dir / files["pitch_onnx"],
-                        input_names=["tokens", "midi", "ph2word", "ph_dur",
-                                     "mel2ph", "base_pitch", "steps", "noise",
-                                     *enc_extra_names, *frame_extra_names],
+                        input_names=[*pitch_in_names, "noise"],
                         output_names=["pitch_pred"], internal_noise=["noise"])
                 if model.var_list:
                     trb = hp["variances_prediction_args"]["total_repeat_bins"]
                     noise = jnp.zeros((1, t_mel, trb), jnp.float32)
-                    pitch = pitch_ex
+
+                    def variance_onnx(*args):
+                        *ins, nz = args
+                        pos, kw = _split_var_args(ins)
+                        return model.forward_variance_deployed(
+                            self.params, key, *pos, noise=nz, **kw)
+
                     files["variance_onnx"] = f"{name}.variance{suffix}.onnx"
                     self._serialize_onnx(
-                        variance_onnx,
-                        (tokens, midi, ph2word, ph_dur, mel2ph, base_pitch, pitch,
-                         steps0, noise, *all_extras),
+                        variance_onnx, (*var_ex, steps0, noise),
                         self.export_dir / files["variance_onnx"],
-                        input_names=["tokens", "midi", "ph2word", "ph_dur",
-                                     "mel2ph", "base_pitch", "pitch", "steps", "noise",
-                                     *enc_extra_names, *frame_extra_names],
+                        input_names=[*var_in_names, "noise"],
                         output_names=[f"{v}_pred" for v in model.var_list],
                         internal_noise=["noise"])
             self.bucket_files[f"{t_ph}x{t_mel}"] = files
@@ -681,6 +736,10 @@ class DiffSingerVarianceExporter(BaseExporter):
             "hidden_size": hp["hidden_size"],
             "predict_dur": hp["predict_dur"],
             "predict_pitch": hp["predict_pitch"],
+            # per-variance prediction flags (reference variance_exporter.py:
+            # 176-178: predict_<v> for every checklist entry)
+            **{f"predict_{v}": (v in self.model.var_list)
+               for v in ("energy", "breathiness", "voicing", "tension")},
             # steps is a runtime input of the pitch/variance sampling graphs
             "use_continuous_acceleration": True,
             "sampling_steps": hp.get("sampling_steps", 20),
@@ -691,6 +750,14 @@ class DiffSingerVarianceExporter(BaseExporter):
             "buckets": self.bucket_files,
         }
         manifest["use_lang_id"] = bool(hp.get("use_lang_id", False))
+        if hp["predict_pitch"]:
+            # expr exposure + melody-encoder note_rest input flags
+            # (reference variance_exporter.py:172-174)
+            manifest["use_expr"] = bool(self.expose_expr)
+            manifest["use_note_rest"] = bool(self.model.use_melody_encoder)
+            manifest["use_glide_embed"] = bool(
+                self.model.use_melody_encoder and hp.get("use_glide_embed", False)
+                and not self.freeze_glide)
         lang_file = self._export_languages(self.infer.lang_map)
         if lang_file:
             manifest["languages"] = lang_file

@@ -189,7 +189,12 @@ def _select_n(ctx, eqn, ins):
 
 
 _CMP = {"eq": "Equal", "ne": "Equal", "lt": "Less", "le": "LessOrEqual",
-        "gt": "Greater", "ge": "GreaterOrEqual"}
+        "gt": "Greater", "ge": "GreaterOrEqual",
+        # total-order comparisons (jnp.searchsorted internals): identical to
+        # the partial-order ops for NaN-free integer/sorted inputs, which is
+        # the only way they appear in these graphs (duration cumsums)
+        "eq_to": "Equal", "lt_to": "Less", "le_to": "LessOrEqual",
+        "gt_to": "Greater", "ge_to": "GreaterOrEqual"}
 
 
 @register(*_CMP)
@@ -527,10 +532,25 @@ def _gather(ctx, eqn, ins):
             return ctx.gb.add_node("Transpose", [out], perm=perm)
         raise LoweringError(f"gather offsets {offset_dims} for axis {axis}")
 
-    # pattern B: take_along_axis -> GatherElements
-    # indices [..., 1] indexing one axis with slice sizes 1 on that axis and
-    # full index grid elsewhere is already covered above; a general
-    # take_along_axis produces start_index_map of all dims. Not needed yet.
+    # pattern B: batched per-row indexing -> GatherElements. JAX emits this
+    # for take_along_axis / vmapped searchsorted: every operand dim except the
+    # indexed one is an operand_batching_dim, slice sizes are all 1, and the
+    # index array is [*operand_batch_dims_interleaved_with_index_dim, 1].
+    if (len(start_map) == 1 and batch_dims and collapsed == ()
+            and indices.shape[-1] == 1
+            and len(batch_dims) == operand.ndim - 1
+            and all(slice_sizes[d] == 1 for d in range(operand.ndim))):
+        axis = int(start_map[0])
+        s = tuple(indices.shape[:-1])
+        if (len(s) == operand.ndim
+                and all(s[d] == operand.shape[d] for d in batch_dims)):
+            idx = ctx.gb.add_node(
+                "Reshape", [ins[1], _shape_const(ctx.gb, s)])[0]
+            out = ctx.gb.add_node("GatherElements", [ins[0], idx], axis=axis)[0]
+            out_shape = tuple(eqn.outvars[0].aval.shape)
+            return ctx.gb.add_node(
+                "Reshape", [out, _shape_const(ctx.gb, out_shape)])
+
     raise LoweringError(f"gather {dn} sizes={slice_sizes}")
 
 
@@ -831,7 +851,7 @@ EMITTED_OPS = frozenset(
         "Atan", "Reciprocal", "Clip", "Mod", "Where",
         # dtype/shape plumbing
         "Cast", "Identity", "Reshape", "Transpose", "Expand", "Pad",
-        "Slice", "Split", "Concat", "Gather", "ScatterND",
+        "Slice", "Split", "Concat", "Gather", "GatherElements", "ScatterND",
         # reductions / scans
         "ArgMax", "ArgMin", "CumSum",
         # linear algebra / convolutions

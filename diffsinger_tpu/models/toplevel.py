@@ -714,6 +714,102 @@ class DiffSingerVariance:
 
         return dur_pred, pitch_pred, variances_pred
 
+    # ------------------------------------------------------------------
+    # Deployed views (reference deployment/modules/toplevel.py:224-302):
+    # OpenUTAU-style graphs that start from the linguistic view's encoder_out
+    # and compute frame alignment, the smoothed base pitch, and retake/expr
+    # blending IN-GRAPH from the deployed inputs.
+
+    def _deployed_frame_condition(self, params, encoder_out, ph_dur, t_mel,
+                                  spk_mix_embed):
+        mel2ph = length_regulator(ph_dur, t_mel)
+        condition = self.module.apply(
+            params, encoder_out, mel2ph, spk_mix_embed=spk_mix_embed,
+            method="frame_condition",
+        )
+        return condition, mel2ph
+
+    def forward_pitch_deployed(
+        self, params, rng, encoder_out, ph_dur, note_midi, note_dur, pitch, retake,
+        *, note_rest=None, note_glide=None, expr=None, spk_mix_embed=None,
+        steps=None, noise=None,
+    ):
+        """Deployed pitch predictor (reference forward_pitch_{pre,post}process,
+        deployment/modules/toplevel.py:224-271).
+
+        ``ph_dur``/``note_dur`` are integer frame counts; ``mel2ph``/``mel2note``
+        and the smoothed base pitch come from them in-graph. ``retake`` [B, T]
+        blends the input ``pitch`` into non-retaken spans; ``expr`` (if given)
+        interpolates the retake embedding. Returns the ABSOLUTE pitch curve
+        (delta prediction + blended base pitch)."""
+        from diffsinger_tpu.dsp.common import sinusoidal_smooth
+
+        hp = self.hp
+        t_mel = pitch.shape[1]
+        condition, mel2ph = self._deployed_frame_condition(
+            params, encoder_out, ph_dur, t_mel, spk_mix_embed)
+        mel2note = length_regulator(note_dur, t_mel)
+        frame_midi = gather_frames(
+            note_midi.astype(jnp.float32)[:, :, None], mel2note)[:, :, 0]
+        timestep = hp["hop_size"] / hp["audio_sample_rate"]
+        kernel = max(1, round(hp["midi_smooth_width"] / timestep))
+        base_pitch = sinusoidal_smooth(frame_midi, kernel)
+        melody_frame = None
+        delta_pitch_in = None
+        if self.use_melody_encoder:
+            mel_out = self.module.apply(
+                params, note_midi, note_rest, note_dur, note_glide=note_glide,
+                method="melody_encode",
+            )
+            melody_frame = gather_frames(mel_out, mel2note)
+            delta_pitch_in = (pitch - base_pitch) * (~retake)
+        pitch_cond, base_pitch = self.module.apply(
+            params, condition, mel2ph, base_pitch, pitch=pitch, pitch_expr=expr,
+            pitch_retake=retake, melody_frame=melody_frame,
+            delta_pitch_in=delta_pitch_in, method="pitch_condition",
+        )
+        proj = precompute_cond_projections(
+            params["params"]["pitch_denoiser"], pitch_cond, dtype=self.module.dtype)
+
+        def step_fn(x, t):
+            return self.module.apply(
+                params, x, t, pitch_cond, cond_proj=proj, method="denoise_pitch")
+
+        shape = jnp.zeros(pitch_cond.shape[:2] + (self.pitch_transform.repeat_bins,))
+        x = self._infer_core(step_fn, shape, rng, steps, noise=noise)
+        return self.pitch_transform.denorm(x) + base_pitch
+
+    def forward_variance_deployed(
+        self, params, rng, encoder_out, ph_dur, pitch, variances: Dict, retake,
+        *, spk_mix_embed=None, steps=None, noise=None,
+    ):
+        """Deployed multi-variance predictor (reference
+        forward_variance_{pre,post}process, deployment/modules/toplevel.py:273-302).
+
+        ``retake`` is [B, T, F] over ``self.var_list`` order; non-retaken spans
+        keep the input curves via the per-variance embeds. Returns a tuple of
+        predicted curves in ``self.var_list`` order."""
+        t_mel = pitch.shape[1]
+        condition, _ = self._deployed_frame_condition(
+            params, encoder_out, ph_dur, t_mel, spk_mix_embed)
+        variance_retake = {v: retake[:, :, i] for i, v in enumerate(self.var_list)}
+        var_cond = self.module.apply(
+            params, condition, pitch, variances, variance_retake,
+            method="variance_condition",
+        )
+        proj = precompute_cond_projections(
+            params["params"]["variance_denoiser"], var_cond, dtype=self.module.dtype)
+
+        def step_fn(x, t):
+            return self.module.apply(
+                params, x, t, var_cond, cond_proj=proj, method="denoise_variance")
+
+        f = len(self.var_list)
+        rb = self.variance_transform.repeat_bins
+        shape = jnp.zeros(var_cond.shape[:2] + (f * rb,))
+        x = self._infer_core(step_fn, shape, rng, steps, noise=noise)
+        return tuple(self.variance_transform.denorm(self.variance_transform.unflatten(x)))
+
     def _infer_core(self, denoise_fn, shape_like, rng, steps, noise=None):
         """Sample a flat [B, T, D] tensor with the configured core. ``noise``
         overrides the PRNG draw (regression testing / RNG-free export).

@@ -80,6 +80,12 @@ def acoustic(exp, ckpt, out, freeze_gender, freeze_velocity, export_spk, freeze_
 @click.option("--exp", type=str, required=True, callback=lambda c, p, v: find_exp(v))
 @click.option("--ckpt", type=click.IntRange(min=0), required=False)
 @click.option("--out", type=click.Path(file_okay=False, path_type=pathlib.Path), required=False)
+@click.option("--freeze_expr", is_flag=True,
+              help="freeze the default pitch expressiveness factor into the "
+                   "model instead of exposing a runtime `expr` input")
+@click.option("--freeze_glide", is_flag=True,
+              help="freeze the default glide embedding into the model instead "
+                   "of exposing a runtime `note_glide` input")
 @click.option("--export_spk", type=str, multiple=True,
               help="(multi-speaker) speaker or 'alias=mix' to export as .emb; "
                    "repeatable")
@@ -89,7 +95,8 @@ def acoustic(exp, ckpt, out, freeze_gender, freeze_velocity, export_spk, freeze_
               help="shape set, e.g. '64x512,128x1024' (t_ph x t_mel per bucket)")
 @click.option("--format", "fmt", type=click.Choice(["stablehlo", "onnx", "both"]),
               default="stablehlo", help="artifact format (onnx = OpenUTAU-style graphs)")
-def variance(exp, ckpt, out, export_spk, freeze_spk, buckets, fmt):
+def variance(exp, ckpt, out, freeze_expr, freeze_glide, export_spk, freeze_spk,
+             buckets, fmt):
     if export_spk and freeze_spk:
         raise click.UsageError("--export_spk is exclusive to --freeze_spk.")
     hp = _load_hp(exp, acoustic=False)
@@ -97,6 +104,7 @@ def variance(exp, ckpt, out, export_spk, freeze_spk, buckets, fmt):
     from diffsinger_tpu.deployment.exporters import DiffSingerVarianceExporter
 
     DiffSingerVarianceExporter(hp, out, ckpt_steps=ckpt,
+                               freeze_expr=freeze_expr, freeze_glide=freeze_glide,
                                export_spk=list(export_spk), freeze_spk=freeze_spk,
                                buckets=_parse_buckets(buckets), fmt=fmt).export()
 

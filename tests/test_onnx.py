@@ -375,63 +375,119 @@ def test_variance_exporter_onnx_steps_sweep(tmp_path):
         manifest = yaml.safe_load(f)
     assert manifest["use_continuous_acceleration"] is True
     assert manifest["sampling_steps"] == hp["sampling_steps"]
+    # deployed functionality flags (reference variance_exporter.py:166-178)
+    assert manifest["use_expr"] is True and manifest["use_note_rest"] is False
+    assert manifest["predict_energy"] is True
+    assert manifest["predict_breathiness"] is False
     files = manifest["buckets"]["16x64"]
 
     tokens = np.zeros((1, 16), np.int32); tokens[0, :4] = np.arange(1, 5)
     midi = np.full((1, 16), 60, np.int32)
     ph2word = np.zeros((1, 16), np.int32); ph2word[0, :4] = np.array([1, 1, 2, 2])
-    ph_dur = np.full((1, 16), 4.0, np.float32)
-    mel2ph = np.zeros((1, 64), np.int32); mel2ph[0, :16] = np.repeat(np.arange(1, 5), 4)
-    base_pitch = np.full((1, 64), 60.0, np.float32)
-    feed = {"tokens": tokens, "midi": midi, "ph2word": ph2word,
-            "ph_dur": ph_dur, "mel2ph": mel2ph, "base_pitch": base_pitch}
+    word_dur = np.full((1, 16), 4.0, np.float32)
+
+    # the deployed sampling graphs start from the linguistic view's
+    # encoder_out (reference deployment contract: pitch/variance preprocess
+    # take encoder_out + integer frame durations + pitch/retake/expr)
+    ling_bytes = (out_dir / files["linguistic_onnx"]).read_bytes()
+    g = parse_model(ling_bytes)
+    assert g.inputs == ["tokens", "midi", "ph2word", "word_dur"]
+    enc_out, _dur = run_model(ling_bytes, {"tokens": tokens, "midi": midi,
+                                           "ph2word": ph2word, "word_dur": word_dur})
+
+    ph_dur = np.full((1, 16), 4, np.int32)      # 64 frames
+    note_midi = np.full((1, 16), 60.0, np.float32)
+    note_dur = np.full((1, 16), 4, np.int32)
+    pitch_in = np.full((1, 64), 60.0, np.float32)
+    expr = np.ones((1, 64), np.float32)
+    retake = np.ones((1, 64), bool)
+    feed = {"encoder_out": enc_out, "ph_dur": ph_dur, "note_midi": note_midi,
+            "note_dur": note_dur, "pitch": pitch_in, "expr": expr, "retake": retake}
 
     pitch_bytes = (out_dir / files["pitch_onnx"]).read_bytes()
     g = parse_model(pitch_bytes)
-    assert g.inputs == ["tokens", "midi", "ph2word", "ph_dur", "mel2ph",
-                        "base_pitch", "steps"]
+    assert g.inputs == ["encoder_out", "ph_dur", "note_midi", "note_dur",
+                        "pitch", "expr", "retake", "steps"]
     (p2,) = run_model(pitch_bytes, dict(feed, steps=np.int32(2)), rng_seed=5)
     (p5,) = run_model(pitch_bytes, dict(feed, steps=np.int32(5)), rng_seed=5)
     assert np.isfinite(p2).all() and not np.allclose(p2, p5)
+    # output is the ABSOLUTE pitch (delta + smoothed base), reference
+    # forward_pitch_postprocess
+    assert abs(float(np.mean(p2)) - 60.0) < 12.0
 
     var_bytes = (out_dir / files["variance_onnx"]).read_bytes()
     g = parse_model(var_bytes)
-    assert g.inputs == ["tokens", "midi", "ph2word", "ph_dur", "mel2ph",
-                        "base_pitch", "pitch", "steps"]
+    assert g.inputs == ["encoder_out", "ph_dur", "pitch", "energy",
+                        "retake", "steps"]
 
     # StableHLO side of the same bundle: pitch AND variance sampler views
-    # exist and execute (the variance view was ONNX-only before)
+    # exist and execute with the same deployed signatures
     from jax import export as jexport
 
-    for view, extra_args in (
-        ("pitch", ()),
-        ("variance", (jnp.full((1, 64), 60.0, jnp.float32),)),
-    ):
-        exp = jexport.deserialize((out_dir / files[view]).read_bytes())
-        out = exp.call(params, jax.random.PRNGKey(0), jnp.asarray(tokens),
-                       jnp.asarray(midi), jnp.asarray(ph2word),
-                       jnp.asarray(ph_dur), jnp.asarray(mel2ph),
-                       jnp.asarray(base_pitch), *extra_args, jnp.int32(2))
-        leaves = jax.tree.leaves(out)
-        assert all(bool(jnp.isfinite(x).all()) for x in leaves), view
+    enc_j = jnp.asarray(enc_out)
+    exp = jexport.deserialize((out_dir / files["pitch"]).read_bytes())
+    pitch_hlo = exp.call(params, jax.random.PRNGKey(0), enc_j,
+                         jnp.asarray(ph_dur), jnp.asarray(note_midi),
+                         jnp.asarray(note_dur), jnp.asarray(pitch_in),
+                         jnp.asarray(expr), jnp.asarray(retake), jnp.int32(2))
+    assert bool(jnp.isfinite(pitch_hlo).all())
+    # ... and match the live deployed method exactly (same rng)
+    pitch_live = model.forward_pitch_deployed(
+        params, jax.random.PRNGKey(0), enc_j, jnp.asarray(ph_dur),
+        jnp.asarray(note_midi), jnp.asarray(note_dur), jnp.asarray(pitch_in),
+        jnp.asarray(retake), expr=jnp.asarray(expr), steps=jnp.int32(2))
+    np.testing.assert_allclose(np.asarray(pitch_hlo), np.asarray(pitch_live),
+                               atol=1e-4, rtol=1e-4)
 
-    # deterministic steps-sweep parity via the lowering (noise as input)
-    nz = jnp.asarray(np.random.default_rng(0).standard_normal((1, 64, 8)), jnp.float32)
+    exp = jexport.deserialize((out_dir / files["variance"]).read_bytes())
+    var_hlo = exp.call(params, jax.random.PRNGKey(0), enc_j,
+                       jnp.asarray(ph_dur), jnp.asarray(pitch_in),
+                       jnp.zeros((1, 64), jnp.float32),
+                       jnp.ones((1, 64, 1), bool), jnp.int32(2))
+    assert all(bool(jnp.isfinite(x).all()) for x in jax.tree.leaves(var_hlo))
 
-    def pitch_fn(tokens, midi, ph2word, ph_dur, mel2ph, base_pitch, steps, noise):
-        _, pitch_pred, _ = model.forward_infer(
-            params, jax.random.PRNGKey(0), tokens, midi, ph2word, base_pitch,
-            ph_dur=ph_dur, mel2ph=mel2ph, predict_variances=False,
-            steps=steps, noise_pitch=noise)
-        return pitch_pred
+    # deployed path == forward_infer path given the same injected noise:
+    # all-retake + expr=1 must reproduce the from-scratch prediction on the
+    # in-graph base pitch (delta + base)
+    from diffsinger_tpu.dsp.common import sinusoidal_smooth
+    from diffsinger_tpu.utils.seq import gather_frames, length_regulator
 
-    args = (jnp.asarray(tokens), jnp.asarray(midi), jnp.asarray(ph2word),
-            jnp.asarray(ph_dur), jnp.asarray(mel2ph), jnp.asarray(base_pitch),
-            jnp.int32(2), nz)
+    nz_p = jnp.asarray(np.random.default_rng(1).standard_normal((1, 64, 8)), jnp.float32)
+    mel2note = length_regulator(jnp.asarray(note_dur), 64)
+    frame_midi = gather_frames(jnp.asarray(note_midi)[:, :, None], mel2note)[:, :, 0]
+    timestep = hp["hop_size"] / hp["audio_sample_rate"]
+    base_host = sinusoidal_smooth(frame_midi, max(1, round(hp["midi_smooth_width"] / timestep)))
+    mel2ph_host = length_regulator(jnp.asarray(ph_dur), 64)
+    deployed = model.forward_pitch_deployed(
+        params, jax.random.PRNGKey(0), enc_j, jnp.asarray(ph_dur),
+        jnp.asarray(note_midi), jnp.asarray(note_dur), jnp.asarray(pitch_in),
+        jnp.asarray(retake), expr=jnp.asarray(expr), steps=jnp.int32(3), noise=nz_p)
+    _, delta, _ = model.forward_infer(
+        params, jax.random.PRNGKey(0), jnp.asarray(tokens), jnp.asarray(midi),
+        jnp.asarray(ph2word), base_host, word_dur=jnp.asarray(word_dur),
+        mel2ph=mel2ph_host, predict_variances=False,
+        steps=jnp.int32(3), noise_pitch=nz_p)
+    np.testing.assert_allclose(np.asarray(deployed), np.asarray(base_host + delta),
+                               atol=2e-4, rtol=1e-4)
+
+    # deterministic steps-sweep parity via the lowering (noise as input):
+    # the deployed pitch view's ONNX Loop trip count follows the runtime
+    # `steps` and matches the live deployed method at every count
+    def pitch_fn(encoder_out, ph_dur, note_midi, note_dur, pitch, expr,
+                 retake, steps, noise):
+        return model.forward_pitch_deployed(
+            params, jax.random.PRNGKey(0), encoder_out, ph_dur, note_midi,
+            note_dur, pitch, retake, expr=expr, steps=steps, noise=noise)
+
+    args = (enc_j, jnp.asarray(ph_dur), jnp.asarray(note_midi),
+            jnp.asarray(note_dur), jnp.asarray(pitch_in), jnp.asarray(expr),
+            jnp.asarray(retake), jnp.int32(2), nz_p)
     data = export_onnx(pitch_fn, args, None, name="var_pitch",
-                       input_names=["tokens", "midi", "ph2word", "ph_dur",
-                                    "mel2ph", "base_pitch", "steps", "noise"])
+                       input_names=["encoder_out", "ph_dur", "note_midi",
+                                    "note_dur", "pitch", "expr", "retake",
+                                    "steps", "noise"])
     for steps in (2, 5, 9):
-        (got,) = run_model(data, dict(feed, steps=np.int32(steps), noise=np.asarray(nz)))
-        want = pitch_fn(*args[:6], jnp.int32(steps), nz)
+        (got,) = run_model(data, dict(feed, steps=np.int32(steps),
+                                      noise=np.asarray(nz_p)))
+        want = pitch_fn(*args[:7], jnp.int32(steps), nz_p)
         np.testing.assert_allclose(got, np.asarray(want), atol=2e-4, rtol=1e-4)
