@@ -36,3 +36,11 @@ def test_other_cli_helps():
         r = _help(script)
         assert r.returncode == 0, f"{script}: {r.stderr[-500:]}"
         assert expect in r.stdout, f"{script} missing {expect}"
+
+    # reference export flag surface (scripts/export.py:98-111, 180-200)
+    r = _help("scripts/export.py", "acoustic")
+    for flag in ("--freeze_gender", "--freeze_velocity", "--export_spk", "--freeze_spk"):
+        assert flag in r.stdout, flag
+    r = _help("scripts/export.py", "variance")
+    for flag in ("--freeze_expr", "--freeze_glide", "--export_spk", "--freeze_spk"):
+        assert flag in r.stdout, flag
