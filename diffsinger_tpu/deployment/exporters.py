@@ -402,7 +402,9 @@ class DiffSingerAcousticExporter(BaseExporter):
             "fft_size": hp["fft_size"],
             "num_mel_bins": hp["audio_num_mel_bins"],
             "mel_fmin": hp["fmin"],
-            "mel_fmax": hp["fmax"],
+            # reference acoustic_exporter.py:160: null fmax -> Nyquist
+            "mel_fmax": (hp["fmax"] if hp.get("fmax") is not None
+                         else hp["audio_sample_rate"] / 2),
             "mel_scale": "slaney",  # filterbank family (acoustic_exporter.py:161)
             "use_lang_id": bool(hp.get("use_lang_id", False)),
             # exposure, not training config: the consumer feeds gender/velocity
@@ -486,6 +488,9 @@ class DiffSingerVarianceExporter(BaseExporter):
             export_spk, freeze_spk, self.infer.spk_map)
         self.buckets = [tuple(b) for b in (buckets or self.DEFAULT_BUCKETS)]
         self.bucket_files: dict = {}
+        # ordered input-name lists per view, recorded into the manifest for
+        # consumers (filled by export_model)
+        self._input_names: dict = {}
 
     @property
     def model_name(self) -> str:
@@ -606,6 +611,12 @@ class DiffSingerVarianceExporter(BaseExporter):
 
         var_in_names = (["encoder_out", "ph_dur", "pitch", *model.var_list,
                          "retake", *frame_extra_names, "steps"])
+        self._input_names = {
+            "linguistic": ["tokens", "midi", "ph2word", "word_dur",
+                           *enc_extra_names],
+            "pitch": list(pitch_in_names),
+            "variance": list(var_in_names),
+        }
 
         def _split_var_args(args):
             it = iter(args)
@@ -750,6 +761,10 @@ class DiffSingerVarianceExporter(BaseExporter):
             "buckets": self.bucket_files,
         }
         manifest["use_lang_id"] = bool(hp.get("use_lang_id", False))
+        # ordered per-view input names (after params[, rng]; before a
+        # trailing internalized `noise` on ONNX graphs) — consumers use this
+        # instead of re-deriving the set from the flags
+        manifest["inputs"] = self._input_names
         if hp["predict_pitch"]:
             # expr exposure + melody-encoder note_rest input flags
             # (reference variance_exporter.py:172-174)

@@ -137,6 +137,165 @@ class AcousticArtifactRuntime:
         return np.asarray(out)[:, :t_mel]
 
 
+class VarianceArtifactRuntime:
+    """Serve an exported variance bundle through the deployed contract:
+    linguistic (tokens -> encoder_out + dur), pitch, and variance views
+    (reference deployment/modules/toplevel.py:201-302). The sampling views
+    take the linguistic view's ``encoder_out`` plus the deployed inputs
+    (frame durations, note sequence, current pitch/curves, retake mask,
+    optional expr) with in-graph alignment and base-pitch smoothing."""
+
+    def __init__(self, bundle_dir, params):
+        from jax import export as jexport
+
+        self.dir = pathlib.Path(bundle_dir)
+        with open(self.dir / "dsconfig.yaml") as f:
+            self.manifest = yaml.safe_load(f)
+        _check_stablehlo_flavor(self.manifest)
+        if "linguistic" not in self.manifest:
+            raise ValueError("not a variance bundle: manifest has no 'linguistic'")
+        self.params = params
+        self._loaded: Dict[str, object] = {}
+        buckets = self.manifest.get("buckets") or {}
+        if not buckets:
+            raise ValueError("manifest has no bucket table; re-export with this framework")
+        self.buckets = sorted(
+            (tuple(int(d) for d in key.split("x")) + (files,)
+             for key, files in buckets.items()),
+            key=lambda b: (b[1], b[0]),
+        )
+        self.inputs = self.manifest.get("inputs") or {}
+        self._jexport = jexport
+
+    def _pick_bucket(self, t_ph: int, t_mel: int) -> Tuple[int, int, dict]:
+        for bp, bm, files in self.buckets:
+            if t_ph <= bp and t_mel <= bm:
+                return bp, bm, files
+        raise ValueError(
+            f"no exported bucket fits (t_ph={t_ph}, t_mel={t_mel}); "
+            f"available: {[(b[0], b[1]) for b in self.buckets]}"
+        )
+
+    def _artifact(self, filename: str):
+        if filename not in self._loaded:
+            self._loaded[filename] = self._jexport.deserialize(
+                (self.dir / filename).read_bytes())
+        return self._loaded[filename]
+
+    def _collect(self, view: str, provided: dict, bp: int, bm: int):
+        """Assemble the view's positional inputs from the manifest's ordered
+        name list, padding to the bucket and defaulting what has a neutral
+        value (retake=all, expr=1, note_rest/glide=0)."""
+        hidden = int(self.manifest["hidden_size"])
+        pads = {  # name -> (bucket length, pad value, dtype)
+            "tokens": (bp, 0, np.int32), "midi": (bp, 0, np.int32),
+            "ph2word": (bp, 0, np.int32), "word_dur": (bp, 0, np.float32),
+            "languages": (bp, 0, np.int32),
+            "encoder_out": (bp, 0, np.float32), "ph_dur": (bp, 0, np.int32),
+            "note_midi": (bp, 0, np.float32), "note_rest": (bp, True, bool),
+            "note_dur": (bp, 0, np.int32), "note_glide": (bp, 0, np.int32),
+            "pitch": (bm, 0, np.float32), "expr": (bm, 1.0, np.float32),
+            "retake": (bm, True, bool),
+            "ph_spk_embed": (bp, 0, np.float32), "spk_embed": (bm, 0, np.float32),
+        }
+        args = []
+        for name in self.inputs[view]:
+            if name == "steps":
+                continue  # appended by the caller
+            val = provided.get(name)
+            if val is None:
+                t_mel = provided["pitch"].shape[1] if "pitch" in provided else bm
+                if name == "retake":
+                    shape = ((1, t_mel) if view == "pitch"
+                             else (1, t_mel, self._n_variances()))
+                    val = np.ones(shape, bool)
+                elif name == "expr":
+                    val = np.ones((1, t_mel), np.float32)
+                elif name == "note_rest":
+                    val = np.zeros((1, provided["note_midi"].shape[1]), bool)
+                elif name == "note_glide":
+                    val = np.zeros((1, provided["note_midi"].shape[1]), np.int32)
+                elif name in [v for v in ("energy", "breathiness", "voicing", "tension")]:
+                    val = np.zeros((1, t_mel), np.float32)
+                else:
+                    raise ValueError(
+                        f"view '{view}' requires input '{name}' (no neutral default)")
+            length, fill, dtype = pads.get(name, (bm, 0, np.float32))
+            if name in ("spk_embed", "ph_spk_embed"):
+                val = np.asarray(val, np.float32)
+                if val.ndim == 1:
+                    val = val[None, None, :]
+                assert val.shape[-1] == hidden
+                if val.shape[1] > 1:
+                    val = _pad_axis1(val, length)
+                args.append(val)
+                continue
+            args.append(_pad_axis1(np.asarray(val, dtype), length, value=fill))
+        return args
+
+    def _n_variances(self) -> int:
+        return sum(bool(self.manifest.get(f"predict_{v}", False))
+                   for v in ("energy", "breathiness", "voicing", "tension"))
+
+    def variance_names(self):
+        return [v for v in ("energy", "breathiness", "voicing", "tension")
+                if self.manifest.get(f"predict_{v}", False)]
+
+    def encode(self, tokens: np.ndarray, midi: np.ndarray, ph2word: np.ndarray,
+               word_dur: np.ndarray, t_mel: int, **extra):
+        """-> (encoder_out [1, bp, H] at bucket size, ph_dur_pred [1, T_ph],
+        (bp, bm, files)). encoder_out stays bucket-padded so the sampling
+        views can consume it directly."""
+        t_ph = tokens.shape[1]
+        bp, bm, files = self._pick_bucket(t_ph, t_mel)
+        exp = self._artifact(files["linguistic"])
+        args = self._collect("linguistic", dict(
+            tokens=tokens, midi=midi, ph2word=ph2word, word_dur=word_dur,
+            **extra), bp, bm)
+        enc, dur = exp.call(self.params, *args)
+        return np.asarray(enc), np.asarray(dur)[:, :t_ph], (bp, bm, files)
+
+    def predict_pitch(self, encoder_out: np.ndarray, ph_dur: np.ndarray,
+                      note_midi: np.ndarray, note_dur: np.ndarray,
+                      pitch: np.ndarray, bucket, seed: int = 0,
+                      steps: Optional[int] = None, **extra) -> np.ndarray:
+        """-> absolute pitch curve [1, T_mel] (midi). ``bucket`` is the tuple
+        returned by :meth:`encode`; retake defaults to all-frames."""
+        import jax
+
+        bp, bm, files = bucket
+        if steps is None:
+            steps = int(self.manifest.get("sampling_steps", 20))
+        t_mel = pitch.shape[1]
+        exp = self._artifact(files["pitch"])
+        args = self._collect("pitch", dict(
+            encoder_out=encoder_out, ph_dur=ph_dur, note_midi=note_midi,
+            note_dur=note_dur, pitch=pitch, **extra), bp, bm)
+        out = exp.call(self.params, jax.random.PRNGKey(seed), *args,
+                       np.int32(steps))
+        return np.asarray(out)[:, :t_mel]
+
+    def predict_variances(self, encoder_out: np.ndarray, ph_dur: np.ndarray,
+                          pitch: np.ndarray, bucket, seed: int = 0,
+                          steps: Optional[int] = None, **extra) -> dict:
+        """-> {variance name: curve [1, T_mel]}. Input curves + a [1, T, F]
+        retake mask may be passed via kwargs; defaults regenerate all."""
+        import jax
+
+        bp, bm, files = bucket
+        if steps is None:
+            steps = int(self.manifest.get("sampling_steps", 20))
+        t_mel = pitch.shape[1]
+        exp = self._artifact(files["variance"])
+        args = self._collect("variance", dict(
+            encoder_out=encoder_out, ph_dur=ph_dur, pitch=pitch, **extra),
+            bp, bm)
+        outs = exp.call(self.params, jax.random.PRNGKey(seed), *args,
+                        np.int32(steps))
+        return {v: np.asarray(o)[:, :t_mel]
+                for v, o in zip(self.variance_names(), outs)}
+
+
 class VocoderArtifactRuntime:
     """Serve an exported vocoder bundle: (mel, f0) -> waveform."""
 

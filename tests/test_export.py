@@ -396,3 +396,87 @@ def test_artifact_runtime_bucket_dispatch(tmp_path):
         rt.synthesize_mel(np.zeros((1, 40), np.int32),
                           np.zeros((1, 300), np.int32),
                           np.full((1, 300), 220.0, np.float32))
+
+
+def test_variance_artifact_runtime(tmp_path):
+    """VarianceArtifactRuntime serves an exported variance bundle through the
+    deployed contract: linguistic -> encoder_out + dur, then pitch/variance
+    sampling with manifest-driven input assembly (neutral retake/expr
+    defaults), bucket padding, and trimming."""
+    hp = _make_exp(
+        tmp_path, str(pathlib.Path(__file__).resolve().parents[1] / "configs" / "variance.yaml"),
+        dict(
+            TINY_COMMON,
+            predict_energy=True,
+            dur_prediction_args=dict(
+                arch="fs2", hidden_size=32, dropout=0.1, num_layers=2, kernel_size=3,
+                log_offset=1.0, loss_type="mse",
+                lambda_pdur_loss=0.3, lambda_wdur_loss=1.0, lambda_sdur_loss=3.0,
+            ),
+            pitch_prediction_args=dict(
+                pitd_norm_min=-8.0, pitd_norm_max=8.0, pitd_clip_min=-12.0, pitd_clip_max=12.0,
+                repeat_bins=8, backbone_type="wavenet",
+                backbone_args=dict(num_layers=2, num_channels=16, dilation_cycle_length=2),
+            ),
+            variances_prediction_args=dict(
+                total_repeat_bins=8, backbone_type="wavenet",
+                backbone_args=dict(num_layers=2, num_channels=16, dilation_cycle_length=2),
+            ),
+        ),
+        "tiny_var_runtime",
+    )
+    hp["infer"] = True
+
+    from diffsinger_tpu.models.toplevel import DiffSingerVariance
+    from diffsinger_tpu.utils.ckpt import checkpoint_path, save_checkpoint
+    from diffsinger_tpu.utils.text import load_phoneme_dictionary
+
+    vocab = len(load_phoneme_dictionary(hp))
+    model = DiffSingerVariance(hp, vocab_size=vocab)
+    params = model.init(jax.random.PRNGKey(0))
+    save_checkpoint(checkpoint_path(hp["work_dir"], 100), params,
+                    category="variance", global_step=100)
+
+    from diffsinger_tpu.deployment.exporters import DiffSingerVarianceExporter
+    from diffsinger_tpu.deployment.runtime import VarianceArtifactRuntime
+
+    out_dir = tmp_path / "var_artifacts"
+    exporter = DiffSingerVarianceExporter(hp, out_dir, buckets=[(16, 64)])
+    exporter.export()
+
+    rt = VarianceArtifactRuntime(out_dir, exporter.params)
+    assert rt.variance_names() == ["energy"]
+
+    tokens = np.zeros((1, 10), np.int32); tokens[0, :4] = np.arange(1, 5)
+    midi = np.full((1, 10), 60, np.int32)
+    ph2word = np.zeros((1, 10), np.int32); ph2word[0, :4] = np.array([1, 1, 2, 2])
+    word_dur = np.full((1, 10), 4.0, np.float32)
+    enc, dur, bucket = rt.encode(tokens, midi, ph2word, word_dur, t_mel=50)
+    assert enc.shape == (1, 16, hp["hidden_size"])  # bucket-padded
+    assert dur.shape == (1, 10)                     # trimmed
+
+    ph_dur = np.full((1, 10), 5, np.int32)          # 50 frames
+    note_midi = np.full((1, 10), 62.0, np.float32)
+    note_dur = np.full((1, 10), 5, np.int32)
+    pitch_in = np.full((1, 50), 62.0, np.float32)
+    pitch = rt.predict_pitch(enc, ph_dur, note_midi, note_dur, pitch_in,
+                             bucket, seed=3, steps=2)
+    assert pitch.shape == (1, 50) and np.isfinite(pitch).all()
+    assert abs(float(pitch.mean()) - 62.0) < 12.0   # absolute midi curve
+
+    # matches the live deployed method on identically padded inputs
+    pad_ph = np.zeros((1, 16), np.int32); pad_ph[:, :10] = ph_dur
+    pad_nm = np.zeros((1, 16), np.float32); pad_nm[:, :10] = note_midi
+    pad_nd = np.zeros((1, 16), np.int32); pad_nd[:, :10] = note_dur
+    pad_p = np.zeros((1, 64), np.float32); pad_p[:, :50] = pitch_in
+    live = model.forward_pitch_deployed(
+        exporter.params, jax.random.PRNGKey(3), jnp.asarray(enc),
+        jnp.asarray(pad_ph), jnp.asarray(pad_nm), jnp.asarray(pad_nd),
+        jnp.asarray(pad_p), jnp.ones((1, 64), bool),
+        expr=jnp.ones((1, 64), jnp.float32), steps=jnp.int32(2))
+    np.testing.assert_allclose(pitch, np.asarray(live)[:, :50], atol=1e-4, rtol=1e-4)
+
+    vars_out = rt.predict_variances(enc, ph_dur, pitch, bucket, seed=3, steps=2)
+    assert set(vars_out) == {"energy"}
+    assert vars_out["energy"].shape == (1, 50)
+    assert np.isfinite(vars_out["energy"]).all()
