@@ -480,3 +480,121 @@ def test_variance_artifact_runtime(tmp_path):
     assert set(vars_out) == {"energy"}
     assert vars_out["energy"].shape == (1, 50)
     assert np.isfinite(vars_out["energy"]).all()
+
+
+def test_full_chain_from_bundles(tmp_path):
+    """The complete deployment story: exported variance, acoustic, and
+    vocoder bundles chained through the artifact runtimes produce a waveform
+    with NO model classes or hparams — only manifests, artifacts, and params
+    (the OpenUTAU-equivalent consumer path)."""
+    import json
+
+    from diffsinger_tpu.utils.ckpt import checkpoint_path, save_checkpoint
+    from diffsinger_tpu.utils.text import load_phoneme_dictionary
+
+    # --- variance bundle ---------------------------------------------------
+    hp_v = _make_exp(
+        tmp_path, str(pathlib.Path(__file__).resolve().parents[1] / "configs" / "variance.yaml"),
+        dict(
+            TINY_COMMON,
+            predict_energy=False,
+            dur_prediction_args=dict(
+                arch="fs2", hidden_size=32, dropout=0.1, num_layers=2, kernel_size=3,
+                log_offset=1.0, loss_type="mse",
+                lambda_pdur_loss=0.3, lambda_wdur_loss=1.0, lambda_sdur_loss=3.0,
+            ),
+            pitch_prediction_args=dict(
+                pitd_norm_min=-8.0, pitd_norm_max=8.0, pitd_clip_min=-12.0, pitd_clip_max=12.0,
+                repeat_bins=8, backbone_type="wavenet",
+                backbone_args=dict(num_layers=2, num_channels=16, dilation_cycle_length=2),
+            ),
+        ),
+        "bundle_var",
+    )
+    hp_v["infer"] = True
+
+    from diffsinger_tpu.models.toplevel import DiffSingerVariance
+
+    vocab = len(load_phoneme_dictionary(hp_v))
+    vmodel = DiffSingerVariance(hp_v, vocab_size=vocab)
+    save_checkpoint(checkpoint_path(hp_v["work_dir"], 10), vmodel.init(jax.random.PRNGKey(0)),
+                    category="variance", global_step=10)
+
+    from diffsinger_tpu.deployment.exporters import (
+        DiffSingerAcousticExporter, DiffSingerVarianceExporter, NSFHiFiGANExporter)
+    from diffsinger_tpu.deployment.runtime import (
+        AcousticArtifactRuntime, VarianceArtifactRuntime, VocoderArtifactRuntime)
+
+    var_dir = tmp_path / "bundle_variance"
+    var_exp = DiffSingerVarianceExporter(hp_v, var_dir, buckets=[(16, 64)])
+    var_exp.export()
+
+    # --- acoustic bundle ---------------------------------------------------
+    hp_a = _make_exp(
+        tmp_path, str(pathlib.Path(__file__).resolve().parents[1] / "configs" / "acoustic.yaml"),
+        dict(
+            TINY_COMMON,
+            audio_num_mel_bins=16,
+            backbone_args=dict(num_channels=32, num_layers=1, kernel_size=7,
+                               dropout_rate=0.0, strong_cond=True),
+            use_shallow_diffusion=False,
+        ),
+        "bundle_ac",
+    )
+    hp_a["infer"] = True
+
+    from diffsinger_tpu.models.toplevel import DiffSingerAcoustic
+
+    amodel = DiffSingerAcoustic(hp_a, vocab_size=vocab, out_dims=16)
+    save_checkpoint(checkpoint_path(hp_a["work_dir"], 10), amodel.init(jax.random.PRNGKey(1)),
+                    category="acoustic", global_step=10)
+    ac_dir = tmp_path / "bundle_acoustic"
+    ac_exp = DiffSingerAcousticExporter(hp_a, ac_dir, buckets=[(16, 64)])
+    ac_exp.export()
+
+    # --- vocoder bundle ----------------------------------------------------
+    (tmp_path / "config.json").write_text(json.dumps(dict(
+        num_mels=16, sampling_rate=44100,
+        upsample_rates=[4, 4, 2, 2], upsample_kernel_sizes=[8, 8, 4, 4],
+        upsample_initial_channel=16, resblock="1",
+        resblock_kernel_sizes=[3], resblock_dilation_sizes=[[1, 3, 5]],
+        mini_nsf=True,
+    )))
+    hp_voc = dict(vocoder_ckpt=str(tmp_path / "missing.ckpt"),
+                  audio_num_mel_bins=16, audio_sample_rate=44100)
+    voc_dir = tmp_path / "bundle_vocoder"
+    with pytest.warns(UserWarning):  # random vocoder weights
+        voc_exp = NSFHiFiGANExporter(hp_voc, voc_dir, buckets=(64,))
+    voc_exp.export()
+    hop = 4 * 4 * 2 * 2
+
+    # --- chain: score -> pitch -> mel -> wav, bundles only ------------------
+    rt_var = VarianceArtifactRuntime(var_dir, var_exp.params)
+    rt_ac = AcousticArtifactRuntime(ac_dir, ac_exp.params)
+    rt_voc = VocoderArtifactRuntime(voc_dir, voc_exp.vocoder.params)
+
+    tokens = np.zeros((1, 10), np.int32); tokens[0, :4] = np.arange(1, 5)
+    midi = np.full((1, 10), 60, np.int32)
+    ph2word = np.zeros((1, 10), np.int32); ph2word[0, :4] = np.array([1, 1, 2, 2])
+    word_dur = np.full((1, 10), 5.0, np.float32)
+    t_mel = 50
+    enc, dur_pred, bucket = rt_var.encode(tokens, midi, ph2word, word_dur, t_mel=t_mel)
+    assert dur_pred.shape == (1, 10)
+
+    ph_dur = np.full((1, 10), 5, np.int32)
+    note_midi = np.full((1, 10), 64.0, np.float32)
+    note_dur = np.full((1, 10), 5, np.int32)
+    pitch = rt_var.predict_pitch(enc, ph_dur, note_midi, note_dur,
+                                 np.full((1, t_mel), 64.0, np.float32),
+                                 bucket, seed=7, steps=2)
+    assert pitch.shape == (1, t_mel) and np.isfinite(pitch).all()
+
+    f0 = (440.0 * 2.0 ** ((pitch - 69.0) / 12.0)).astype(np.float32)
+    mel2ph = np.zeros((1, t_mel), np.int32)
+    mel2ph[0] = np.repeat(np.arange(1, 11), 5)
+    mel = rt_ac.synthesize_mel(tokens, mel2ph, f0, seed=7, steps=2)
+    assert mel.shape == (1, t_mel, 16) and np.isfinite(mel).all()
+
+    wav = rt_voc.vocode(mel, f0)
+    assert wav.shape == (1, t_mel * hop)
+    assert np.isfinite(wav).all() and float(np.abs(wav).max()) > 0
