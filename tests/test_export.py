@@ -598,3 +598,93 @@ def test_full_chain_from_bundles(tmp_path):
     wav = rt_voc.vocode(mel, f0)
     assert wav.shape == (1, t_mel * hop)
     assert np.isfinite(wav).all() and float(np.abs(wav).max()) > 0
+
+
+def test_variance_export_spk_input_and_freeze(tmp_path):
+    """Multi-speaker variance export: by default the linguistic view takes a
+    token-level ph_spk_embed and the sampling views a frame-level spk_embed;
+    --freeze_spk bakes the mix into every view (reference
+    variance_exporter.py:82-83 frozen_spk_embed buffer)."""
+    import json
+
+    hp = _make_exp(
+        tmp_path, str(pathlib.Path(__file__).resolve().parents[1] / "configs" / "variance.yaml"),
+        dict(
+            TINY_COMMON,
+            use_spk_id=True, num_spk=2,
+            predict_energy=False,
+            dur_prediction_args=dict(
+                arch="fs2", hidden_size=32, dropout=0.1, num_layers=2, kernel_size=3,
+                log_offset=1.0, loss_type="mse",
+                lambda_pdur_loss=0.3, lambda_wdur_loss=1.0, lambda_sdur_loss=3.0,
+            ),
+            pitch_prediction_args=dict(
+                pitd_norm_min=-8.0, pitd_norm_max=8.0, pitd_clip_min=-12.0, pitd_clip_max=12.0,
+                repeat_bins=8, backbone_type="wavenet",
+                backbone_args=dict(num_layers=2, num_channels=16, dilation_cycle_length=2),
+            ),
+        ),
+        "tiny_var_spk",
+    )
+    hp["infer"] = True
+    with open(pathlib.Path(hp["work_dir"]) / "spk_map.json", "w") as f:
+        json.dump({"alice": 0, "bob": 1}, f)
+
+    from diffsinger_tpu.models.toplevel import DiffSingerVariance
+    from diffsinger_tpu.utils.ckpt import checkpoint_path, save_checkpoint
+    from diffsinger_tpu.utils.text import load_phoneme_dictionary
+
+    vocab = len(load_phoneme_dictionary(hp))
+    model = DiffSingerVariance(hp, vocab_size=vocab)
+    params = model.init(jax.random.PRNGKey(0))
+    save_checkpoint(checkpoint_path(hp["work_dir"], 100), params,
+                    category="variance", global_step=100)
+
+    from diffsinger_tpu.deployment.exporters import DiffSingerVarianceExporter
+    from jax import export as jexport
+
+    out_dir = tmp_path / "var_spk_artifacts"
+    exporter = DiffSingerVarianceExporter(hp, out_dir, buckets=[(16, 64)])
+    exporter.export()
+    with open(out_dir / "dsconfig.yaml") as f:
+        manifest = yaml.safe_load(f)
+    # default multi-speaker policy: every speaker exported
+    assert sorted(manifest["speakers"]) == ["variance.alice", "variance.bob"]
+    assert manifest["inputs"]["linguistic"][-1] == "ph_spk_embed"
+    assert "spk_embed" in manifest["inputs"]["pitch"]
+
+    mix = 0.5 * np.fromfile(out_dir / "variance.alice.emb", np.float32) + \
+        0.5 * np.fromfile(out_dir / "variance.bob.emb", np.float32)
+    tokens = jnp.zeros((1, 16), jnp.int32).at[0, :4].set(jnp.arange(1, 5))
+    midi = jnp.full((1, 16), 60, jnp.int32)
+    ph2word = jnp.zeros((1, 16), jnp.int32).at[0, :4].set(jnp.asarray([1, 1, 2, 2]))
+    word_dur = jnp.full((1, 16), 4.0, jnp.float32)
+    spk = jnp.asarray(mix)[None, None, :]
+    files = manifest["buckets"]["16x64"]
+    exp = jexport.deserialize((out_dir / files["linguistic"]).read_bytes())
+    enc_in, _ = exp.call(exporter.params, tokens, midi, ph2word, word_dur, spk)
+
+    out_frozen = tmp_path / "var_spk_frozen"
+    DiffSingerVarianceExporter(hp, out_frozen, buckets=[(16, 64)],
+                               freeze_spk="duo=alice:0.5|bob:0.5").export()
+    with open(out_frozen / "dsconfig.yaml") as f:
+        m2 = yaml.safe_load(f)
+    assert m2["speakers"] == []
+    assert "ph_spk_embed" not in m2["inputs"]["linguistic"]
+    assert "spk_embed" not in m2["inputs"]["pitch"]
+    f2 = m2["buckets"]["16x64"]
+    assert ".duo." in f2["linguistic"]
+    exp_f = jexport.deserialize((out_frozen / f2["linguistic"]).read_bytes())
+    enc_frozen, _ = exp_f.call(exporter.params, tokens, midi, ph2word, word_dur)
+    np.testing.assert_allclose(np.asarray(enc_in), np.asarray(enc_frozen), atol=1e-5)
+
+    # the frozen pitch view runs end-to-end without spk inputs
+    exp_p = jexport.deserialize((out_frozen / f2["pitch"]).read_bytes())
+    out = exp_p.call(exporter.params, jax.random.PRNGKey(0), enc_frozen,
+                     jnp.full((1, 16), 4, jnp.int32),
+                     jnp.full((1, 16), 60.0, jnp.float32),
+                     jnp.full((1, 16), 4, jnp.int32),
+                     jnp.full((1, 64), 60.0, jnp.float32),
+                     jnp.ones((1, 64), jnp.float32),
+                     jnp.ones((1, 64), bool), jnp.int32(2))
+    assert bool(jnp.isfinite(out).all())
