@@ -53,6 +53,21 @@ def sinusoidal_smoothing_kernel(kernel_size: int) -> np.ndarray:
     return k / k.sum()
 
 
+def sinusoidal_smooth_np(curve: np.ndarray, kernel_size: int) -> np.ndarray:
+    """Host-side twin of :func:`sinusoidal_smooth` (same replicate-pad 'same'
+    conv).  Inference drivers use this for per-segment preprocessing so a
+    tiny 1-D smoothing never costs a device round trip (the remote-TPU
+    tunnel charges ~0.3 s per dispatch; see NOTES.md)."""
+    kernel = sinusoidal_smoothing_kernel(kernel_size)
+    pad_l = (kernel_size - 1) // 2
+    pad_r = kernel_size - 1 - pad_l
+    x = np.pad(np.asarray(curve, np.float32),
+               [(0, 0)] * (curve.ndim - 1) + [(pad_l, pad_r)], mode="edge")
+    flat = x.reshape(-1, x.shape[-1])
+    out = np.stack([np.convolve(v, kernel[::-1], mode="valid") for v in flat])
+    return out.reshape(*curve.shape[:-1], -1).astype(np.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("kernel_size",))
 def sinusoidal_smooth(curve: jnp.ndarray, kernel_size: int) -> jnp.ndarray:
     """'same' conv with replicate padding over the last axis of [..., T]."""

@@ -183,51 +183,113 @@ class DiffSingerAcousticInfer(BaseSVSInfer):
             out["spk_mix_value"] = pad_to(out["spk_mix_value"], t_mel, axis=1)
         return out, length
 
-    def _spk_mix_embed(self, spk_mix_id, spk_mix_value):
-        """Mix speaker embeddings (ds_acoustic.py:190-197): [1,1,N],[1,T,N] -> [1,T,H]."""
-        table = self.params["params"]["fs2"]["spk_embed"]["embedding"]
-        emb = jnp.take(jnp.asarray(table), jnp.asarray(spk_mix_id), axis=0)  # [1,1,N,H]
-        return jnp.sum(emb * jnp.asarray(spk_mix_value)[..., None], axis=2)
+    @staticmethod
+    def _spk_mix_embed(params, spk_mix_id, spk_mix_value):
+        """Mix speaker embeddings in-graph (ds_acoustic.py:190-197):
+        [1,1,N],[1,T,N] -> [1,T,H]."""
+        table = params["params"]["fs2"]["spk_embed"]["embedding"]
+        emb = jnp.take(table, spk_mix_id, axis=0)  # [1,1,N,H]
+        return jnp.sum(emb * spk_mix_value[..., None], axis=2)
+
+    def _build_inputs(self, padded: Dict[str, np.ndarray]):
+        """Model kwargs as host arrays; the speaker-mix embedding is computed
+        inside the jitted program from the raw ids/values."""
+        kwargs: Dict[str, np.ndarray] = {}
+        for key in ("languages", "key_shift", "speed"):
+            if key in padded:
+                kwargs[key] = padded[key]
+        variances = {v: padded[v] for v in self.variances_to_embed if v in padded}
+        if variances:
+            kwargs["variances"] = variances
+        spk_mix = None
+        if "spk_mix_id" in padded:
+            spk_mix = {"id": padded["spk_mix_id"], "value": padded["spk_mix_value"]}
+        return kwargs, spk_mix
+
+    def _mixed_kwargs(self, params, kw, mix):
+        """(traced) resolve the spk-mix arrays into the embed kwarg."""
+        if mix is not None:
+            kw = dict(kw, spk_mix_embed=self._spk_mix_embed(
+                params, mix["id"], mix["value"]))
+        return kw
 
     def forward_model(self, batch: Dict[str, np.ndarray], rng: jax.Array,
                       steps: Optional[int] = None, depth: Optional[int] = None):
+        """Padded-bucket jitted sampler -> (mel [1, T, M] numpy, f0 [1, T])."""
         padded, length = self._pad_batch(batch)
-        kwargs = {}
-        if "languages" in padded:
-            kwargs["languages"] = jnp.asarray(padded["languages"])
-        if "key_shift" in padded:
-            kwargs["key_shift"] = jnp.asarray(padded["key_shift"])
-        if "speed" in padded:
-            kwargs["speed"] = jnp.asarray(padded["speed"])
-        variances = {
-            v: jnp.asarray(padded[v]) for v in self.variances_to_embed if v in padded
-        }
-        if variances:
-            kwargs["variances"] = variances
-        if "spk_mix_id" in padded:
-            kwargs["spk_mix_embed"] = self._spk_mix_embed(
-                padded["spk_mix_id"], padded["spk_mix_value"]
-            )
+        kwargs, spk_mix = self._build_inputs(padded)
 
-        key = (padded["tokens"].shape[1], padded["mel2ph"].shape[1],
-               tuple(sorted(kwargs)), steps, depth)
+        key = ("mel", padded["tokens"].shape[1], padded["mel2ph"].shape[1],
+               tuple(sorted(kwargs)), spk_mix is not None, steps, depth)
         if key not in self._jit_cache:
-            self._jit_cache[key] = jax.jit(
-                lambda params, rng, tokens, mel2ph, f0, kw: self.model.forward_infer(
-                    params, rng, tokens, mel2ph, f0, steps=steps, depth=depth, **kw
-                )
-            )
-        out = self._jit_cache[key](
-            self.params, rng, jnp.asarray(padded["tokens"]),
-            jnp.asarray(padded["mel2ph"]), jnp.asarray(padded["f0"]), kwargs,
+
+            def fn(params, rng, tokens, mel2ph, f0, kw, mix):
+                return self.model.forward_infer(
+                    params, rng, tokens, mel2ph, f0, steps=steps, depth=depth,
+                    **self._mixed_kwargs(params, kw, mix),
+                ).diff_out
+
+            self._jit_cache[key] = jax.jit(fn)
+        mel = self._jit_cache[key](
+            self.params, rng, padded["tokens"], padded["mel2ph"], padded["f0"],
+            kwargs, spk_mix,
         )
-        return out.diff_out[:, :length], padded["f0"][:, :length]
+        return np.asarray(mel)[:, :length], padded["f0"][:, :length]
+
+    def forward_wav(self, batch: Dict[str, np.ndarray], rng: jax.Array,
+                    steps: Optional[int] = None, depth: Optional[int] = None) -> np.ndarray:
+        """Fused sampler+vocoder: ONE jitted program per bucket shape, one
+        device dispatch per segment -> wav [T*hop] numpy.
+
+        The vocoder runs on the bucket-padded mel (pad frames are zero-masked
+        by ``forward_infer`` and pad f0 is 0) and the waveform is sliced to
+        the true length on host; within the vocoder's receptive field of the
+        segment tail this differs from vocoding the exact-length mel by edge
+        effects only.  On remote-tunnel runtimes this path is ~5x fewer round
+        trips than sampler-then-vocoder dispatching.
+        """
+        padded, length = self._pad_batch(batch)
+        kwargs, spk_mix = self._build_inputs(padded)
+
+        key = ("wav", padded["tokens"].shape[1], padded["mel2ph"].shape[1],
+               tuple(sorted(kwargs)), spk_mix is not None, steps, depth)
+        if key not in self._jit_cache:
+
+            def fn(params, voc_params, rng, tokens, mel2ph, f0, kw, mix):
+                out = self.model.forward_infer(
+                    params, rng, tokens, mel2ph, f0, steps=steps, depth=depth,
+                    **self._mixed_kwargs(params, kw, mix),
+                )
+                return self.vocoder.spec2wav_traced(voc_params, out.diff_out, f0)
+
+            self._jit_cache[key] = jax.jit(fn)
+        wav = self._jit_cache[key](
+            self.params, self.vocoder.params, rng,
+            padded["tokens"], padded["mel2ph"], padded["f0"], kwargs, spk_mix,
+        )
+        return np.asarray(wav)[0, : length * self.hparams["hop_size"]]
 
     def run_vocoder(self, mel, f0) -> np.ndarray:
-        wav = self.vocoder.spec2wav_jax(mel, jnp.asarray(f0))
+        wav = self.vocoder.spec2wav_jax(jnp.asarray(mel), jnp.asarray(f0))
         return np.asarray(wav[0])
 
     # ------------------------------------------------------------------
+    def _concat_segments(self, params: List[dict], wavs: List[np.ndarray]) -> np.ndarray:
+        """Offset-based concatenation with cross-fade on overlap
+        (ds_acoustic.py:252-259)."""
+        sr = self.hparams["audio_sample_rate"]
+        result = np.zeros(0)
+        current_length = 0
+        for param, wav in zip(params, wavs):
+            silent_length = round(param.get("offset", 0) * sr) - current_length
+            if silent_length >= 0:
+                result = np.append(result, np.zeros(silent_length))
+                result = np.append(result, wav)
+            else:
+                result = cross_fade(result, wav, current_length + silent_length)
+            current_length = current_length + silent_length + wav.shape[0]
+        return result
+
     def run_inference(
         self,
         params: List[dict],
@@ -248,8 +310,8 @@ class DiffSingerAcousticInfer(BaseSVSInfer):
         suffix = ".wav" if not save_mel else ".mel.npz"
         hp = self.hparams
         for run in range(num_runs):
-            result = [] if save_mel else np.zeros(0)
-            current_length = 0
+            result = []
+            wavs = []
             for i, (param, batch) in enumerate(zip(params, batches)):
                 if "seed" in param:
                     rng = jax.random.PRNGKey(param["seed"] & 0xFFFF_FFFF)
@@ -257,24 +319,22 @@ class DiffSingerAcousticInfer(BaseSVSInfer):
                     rng = jax.random.PRNGKey(seed & 0xFFFF_FFFF)
                 else:
                     rng = jax.random.PRNGKey((hash((title, run, i)) & 0xFFFF_FFFF))
-                mel_pred, f0 = self.forward_model(batch, rng, steps=steps, depth=depth)
                 if save_mel:
+                    mel_pred, f0 = self.forward_model(batch, rng, steps=steps, depth=depth)
                     result.append({
                         "offset": param.get("offset", 0.0),
                         "mel": np.asarray(mel_pred[0]),
                         "f0": np.asarray(f0[0]),
                     })
                 else:
-                    wav = self.run_vocoder(mel_pred, f0)
-                    silent_length = (
-                        round(param.get("offset", 0) * hp["audio_sample_rate"]) - current_length
-                    )
-                    if silent_length >= 0:
-                        result = np.append(result, np.zeros(silent_length))
-                        result = np.append(result, wav)
+                    if hasattr(self.vocoder, "spec2wav_traced"):
+                        wav = self.forward_wav(batch, rng, steps=steps, depth=depth)
                     else:
-                        result = cross_fade(result, wav, current_length + silent_length)
-                    current_length = current_length + silent_length + wav.shape[0]
+                        mel_pred, f0 = self.forward_model(batch, rng, steps=steps, depth=depth)
+                        wav = self.run_vocoder(mel_pred, f0)
+                    wavs.append(wav)
+            if not save_mel:
+                result = self._concat_segments(params, wavs)
             filename = (
                 f"{title}-{str(run).zfill(3)}{suffix}" if num_runs > 1 else f"{title}{suffix}"
             )

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from diffsinger_tpu.dsp.common import interp_f0, sinusoidal_smooth
+from diffsinger_tpu.dsp.common import interp_f0, sinusoidal_smooth_np
 from diffsinger_tpu.inference.base_svs_infer import BaseSVSInfer, bucket_length
 from diffsinger_tpu.models.toplevel import VARIANCE_CHECKLIST, DiffSingerVariance
 from diffsinger_tpu.utils import pad_to
@@ -203,12 +203,11 @@ class DiffSingerVarianceInfer(BaseSVSInfer):
             batch["note_glide"] = np.zeros((1, t_n), np.int32)
         batch["mel2note"] = mel2note.astype(np.int32)
 
-        # frame-level MIDI (step function) -> smoothed base pitch (ds_variance.py:219-224)
+        # frame-level MIDI (step function) -> smoothed base pitch
+        # (ds_variance.py:219-224); host conv — preprocessing must not
+        # dispatch to the device (tunnel round trips dominate short segments)
         frame_midi = np.pad(note_midi, (1, 0))[mel2note[0]][None]
-        base_pitch = np.asarray(
-            sinusoidal_smooth(jnp.asarray(frame_midi), self.smooth_kernel_size)
-        )
-        batch["base_pitch"] = base_pitch.astype(np.float32)
+        batch["base_pitch"] = sinusoidal_smooth_np(frame_midi, self.smooth_kernel_size)
 
         # phoneme-level MIDI (ds_variance.py:226-241)
         if load_dur:
@@ -267,10 +266,12 @@ class DiffSingerVarianceInfer(BaseSVSInfer):
         return batch
 
     # ------------------------------------------------------------------
-    def _spk_mix_embed(self, ids, values):
-        table = jnp.asarray(self.params["params"]["spk_embed"]["embedding"])
-        emb = jnp.take(table, jnp.asarray(ids), axis=0)
-        return jnp.sum(emb * jnp.asarray(values)[..., None], axis=2)
+    @staticmethod
+    def _spk_mix_embed(params, ids, values):
+        """Mix speaker embeddings in-graph: [1,1,N]/[1,T,N] -> [1,T,H]."""
+        table = params["params"]["spk_embed"]["embedding"]
+        emb = jnp.take(table, ids, axis=0)
+        return jnp.sum(emb * values[..., None], axis=2)
 
     def forward_model(self, batch: Dict[str, np.ndarray],
                       flags: Tuple[bool, bool, bool], rng: jax.Array,
@@ -302,6 +303,7 @@ class DiffSingerVarianceInfer(BaseSVSInfer):
             languages=pad("languages", t_ph_pad),
             steps=steps,
         )
+        spk_mix = None
         if "ph_spk_mix_id" in batch:
             ph_val = batch["ph_spk_mix_value"]
             if ph_val.shape[1] > 1:
@@ -309,8 +311,12 @@ class DiffSingerVarianceInfer(BaseSVSInfer):
             fr_val = batch["spk_mix_value"]
             if fr_val.shape[1] > 1:
                 fr_val = pad_to(fr_val, t_s_pad, axis=1)
-            kwargs["ph_spk_mix_embed"] = self._spk_mix_embed(batch["ph_spk_mix_id"], ph_val)
-            kwargs["spk_mix_embed"] = self._spk_mix_embed(batch["spk_mix_id"], fr_val)
+            # ids/values go in as arrays; the embedding mix happens inside the
+            # jitted program (no separate device dispatches per segment)
+            spk_mix = {
+                "ph_id": batch["ph_spk_mix_id"], "ph_value": ph_val,
+                "frame_id": batch["spk_mix_id"], "frame_value": fr_val,
+            }
 
         tokens = pad_to(batch["tokens"], t_ph_pad, axis=1)
         midi = pad_to(batch["midi"], t_ph_pad, axis=1)
@@ -318,42 +324,54 @@ class DiffSingerVarianceInfer(BaseSVSInfer):
         base_pitch = pad_to(batch["base_pitch"], t_s_pad, axis=1)
 
         array_kwargs = {
-            k: jnp.asarray(v) for k, v in kwargs.items()
-            if k != "steps" and v is not None
+            k: v for k, v in kwargs.items() if k != "steps" and v is not None
         }
         # one jitted program per (bucket shapes, predictor flags, arg set, steps);
         # None-valued kwargs are dropped (forward_infer defaults them to None),
-        # so the traced pytree structure stays static per cache key
+        # so the traced pytree structure stays static per cache key.  The
+        # rhythm regulator, delta-pitch add, and speaker-embedding mix run
+        # INSIDE the program: a segment costs exactly one device dispatch.
         if not hasattr(self, "_jit_cache"):
             self._jit_cache = {}
         key = (
-            tuple(sorted((k, v.shape) for k, v in array_kwargs.items())),
+            tuple(sorted((k, np.shape(v)) for k, v in array_kwargs.items())),
+            spk_mix is not None,
             tokens.shape, base_pitch.shape, flags, steps,
         )
         if key not in self._jit_cache:
 
-            def fn(params, rng, tokens, midi, ph2word, base_pitch, kw):
-                return self.model.forward_infer(
+            def fn(params, rng, tokens, midi, ph2word, base_pitch, kw, mix):
+                if mix is not None:
+                    kw = dict(
+                        kw,
+                        ph_spk_mix_embed=self._spk_mix_embed(
+                            params, mix["ph_id"], mix["ph_value"]),
+                        spk_mix_embed=self._spk_mix_embed(
+                            params, mix["frame_id"], mix["frame_value"]),
+                    )
+                dur_pred, pitch_pred, variance_pred = self.model.forward_infer(
                     params, rng, tokens, midi, ph2word, base_pitch,
                     predict_pitch=predict_pitch, predict_variances=predict_variances,
                     steps=steps, **kw,
                 )
+                if dur_pred is not None and predict_dur:
+                    dur_pred = rhythm_regulator(dur_pred, ph2word, kw["word_dur"])
+                if pitch_pred is not None:
+                    pitch_pred = base_pitch + pitch_pred
+                return dur_pred, pitch_pred, variance_pred
 
             self._jit_cache[key] = jax.jit(fn)
         dur_pred, pitch_pred, variance_pred = self._jit_cache[key](
-            self.params, rng, jnp.asarray(tokens), jnp.asarray(midi),
-            jnp.asarray(ph2word), jnp.asarray(base_pitch), array_kwargs,
+            self.params, rng, tokens, midi, ph2word, base_pitch,
+            array_kwargs, spk_mix,
         )
         t_ph = batch["tokens"].shape[1]
         out_dur = None
         if dur_pred is not None and predict_dur:
-            aligned = rhythm_regulator(
-                dur_pred, jnp.asarray(ph2word), jnp.asarray(pad_to(batch["word_dur"], t_w_pad, axis=1))
-            )
-            out_dur = np.asarray(aligned)[0, :t_ph]
+            out_dur = np.asarray(dur_pred)[0, :t_ph]
         out_pitch = None
         if pitch_pred is not None:
-            out_pitch = np.asarray(base_pitch + np.asarray(pitch_pred))[0, :t_s]
+            out_pitch = np.asarray(pitch_pred)[0, :t_s]
         out_vars = {k: np.asarray(v)[0, :t_s] for k, v in (variance_pred or {}).items()}
         return out_dur, out_pitch, out_vars
 

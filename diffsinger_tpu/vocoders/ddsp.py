@@ -79,6 +79,12 @@ class DDSP:
         assert mel_base in (10, "10"), "mel_base must be 'e', '10' or 10."
         return mel
 
+    def spec2wav_traced(self, params, mel, f0):
+        """Traceable body (mel_base handling + CombSub): callers fuse this
+        into their own jitted programs so sampler+vocoder is one dispatch."""
+        mel = self._mel_to_log10(mel.astype(jnp.float32))
+        return self.model.apply(params, mel, f0, rng=jax.random.PRNGKey(0))
+
     def spec2wav_jax(self, mel, f0, rng=None):
         """mel [B, T, M] in the configured ``mel_base`` (same contract as
         NsfHifiGAN.spec2wav_jax — the batched server calls this directly),

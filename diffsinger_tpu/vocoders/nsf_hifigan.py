@@ -72,18 +72,21 @@ class NsfHifiGAN:
                 jnp.zeros((1, 16, self.config.num_mels)),
                 jnp.zeros((1, 16)),
             )
-        self._jitted = jax.jit(
-            lambda params, mel, f0: self.model.apply(params, mel, f0, rng=jax.random.PRNGKey(0))
-        )
+        self._jitted = jax.jit(self.spec2wav_traced)
+
+    def spec2wav_traced(self, params, mel, f0):
+        """Traceable body (mel_base handling + generator): callers fuse this
+        into their own jitted programs so sampler+vocoder is one dispatch."""
+        mel_base = self.hparams.get("mel_base", 10)
+        if mel_base != "e":
+            assert mel_base in (10, "10"), "mel_base must be 'e', '10' or 10."
+            mel = 2.30259 * mel  # log10 -> ln
+        return self.model.apply(params, mel, f0, rng=jax.random.PRNGKey(0))
 
     def spec2wav_jax(self, mel: jnp.ndarray, f0: jnp.ndarray) -> jnp.ndarray:
         """mel [B, T, M] in the configured mel_base; f0 [B, T] -> wav [B, T*hop]."""
         from diffsinger_tpu.utils.profiling import trace_annotation
 
-        mel_base = self.hparams.get("mel_base", 10)
-        if mel_base != "e":
-            assert mel_base in (10, "10"), "mel_base must be 'e', '10' or 10."
-            mel = 2.30259 * mel  # log10 -> ln
         with trace_annotation("vocoder/nsf_hifigan"):
             return self._jitted(self.params, mel, f0)
 

@@ -132,6 +132,20 @@ def test_sinusoidal_smoothing_preserves_mean_and_matches_torch():
     np.testing.assert_allclose(ours, golden, atol=1e-5)
 
 
+@pytest.mark.parametrize("k", [1, 12, 13])
+def test_sinusoidal_smooth_np_matches_jitted(k):
+    """The host-side twin (used by inference preprocessing to avoid device
+    round trips) must match the jitted op, including even kernel sizes where
+    the replicate padding is asymmetric."""
+    from diffsinger_tpu.dsp.common import sinusoidal_smooth_np
+
+    curve = np.cumsum(np.random.default_rng(k).standard_normal((2, 150), np.float32), axis=-1)
+    jitted = np.asarray(sinusoidal_smooth(jnp.asarray(curve), kernel_size=k))
+    host = sinusoidal_smooth_np(curve, kernel_size=k)
+    assert host.dtype == np.float32 and host.shape == curve.shape
+    np.testing.assert_allclose(host, jitted, atol=1e-5)
+
+
 def test_interp_f0():
     f0 = np.array([0, 0, 100, 0, 0, 200, 0], dtype=np.float64)
     out, uv = interp_f0(f0.copy())
