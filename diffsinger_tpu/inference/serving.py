@@ -14,6 +14,7 @@ are padded to a multiple of the data-axis size.
 
 from __future__ import annotations
 
+import pathlib
 from collections import defaultdict
 from typing import Dict, List, Optional
 
@@ -24,6 +25,7 @@ import numpy as np
 from diffsinger_tpu.inference.base_svs_infer import bucket_length
 from diffsinger_tpu.inference.ds_acoustic import DiffSingerAcousticInfer
 from diffsinger_tpu.utils import pad_to
+from diffsinger_tpu.utils.infer_utils import save_wav
 
 
 class AcousticServer(DiffSingerAcousticInfer):
@@ -58,10 +60,13 @@ class AcousticServer(DiffSingerAcousticInfer):
     def _group_key(self, batch: Dict[str, np.ndarray]):
         t_txt = bucket_length(batch["tokens"].shape[1], step=16, minimum=16)
         t_mel = bucket_length(batch["mel2ph"].shape[1])
-        return (t_txt, t_mel)
+        # speaker-mix width must match within a stacked group
+        n_spk = batch["spk_mix_id"].shape[-1] if "spk_mix_id" in batch else 0
+        return (t_txt, t_mel, n_spk)
 
     def synthesize_batch(
         self, segments: List[dict], seed: int = -1, steps: Optional[int] = None,
+        depth: Optional[int] = None,
     ) -> List[np.ndarray]:
         batches = [self.preprocess_input(p, idx=i) for i, p in enumerate(segments)]
         groups: Dict[tuple, List[int]] = defaultdict(list)
@@ -69,18 +74,64 @@ class AcousticServer(DiffSingerAcousticInfer):
             groups[self._group_key(b)].append(i)
 
         results: List[Optional[np.ndarray]] = [None] * len(segments)
-        for (t_txt, t_mel), idxs in groups.items():
+        hop = self.hparams["hop_size"]
+        fused = hasattr(self.vocoder, "spec2wav_traced")
+        for (t_txt, t_mel, _n_spk), idxs in groups.items():
             for chunk_start in range(0, len(idxs), self.max_batch_size):
                 chunk = idxs[chunk_start : chunk_start + self.max_batch_size]
                 stacked = self._stack(batches, chunk, t_txt, t_mel)
                 rng = jax.random.PRNGKey((seed if seed >= 0 else 0) & 0xFFFF_FFFF)
-                mel, f0 = self._run_group(stacked, rng, steps)
-                wavs = np.asarray(self.vocoder.spec2wav_jax(mel, jnp.asarray(f0)))
-                hop = self.hparams["hop_size"]
+                if fused:
+                    # sampler + vocoder as ONE program per group batch
+                    wavs = np.asarray(self._run_group_wav(stacked, rng, steps, depth))
+                else:
+                    mel, f0 = self._run_group(stacked, rng, steps)
+                    wavs = np.asarray(self.vocoder.spec2wav_jax(mel, jnp.asarray(f0)))
                 for j, seg_idx in enumerate(chunk):
                     length = batches[seg_idx]["mel2ph"].shape[1]
                     results[seg_idx] = wavs[j, : length * hop]
         return results
+
+    def run_inference(
+        self,
+        params: List[dict],
+        out_dir: pathlib.Path = None,
+        title: str = None,
+        num_runs: int = 1,
+        spk_mix: Dict[str, float] = None,
+        seed: int = -1,
+        save_mel: bool = False,
+        steps: Optional[int] = None,
+        depth: Optional[int] = None,
+    ):
+        """Batched drop-in for the sequential driver: segments of a score run
+        grouped by bucket shape (``scripts/infer.py acoustic --batch_size``).
+
+        Noise semantics differ from sequential mode: one PRNG key per group
+        batch (derived from ``seed``/run index) instead of one per segment —
+        per-segment ``seed`` fields are ignored (warned).  Output is still
+        deterministic given ``seed``.
+        """
+        if save_mel:  # mel export stays sequential (per-segment npz rows)
+            return super().run_inference(
+                params, out_dir=out_dir, title=title, num_runs=num_runs,
+                spk_mix=spk_mix, seed=seed, save_mel=True, steps=steps, depth=depth)
+        if any("seed" in p for p in params):
+            import warnings
+
+            warnings.warn("batched serving ignores per-segment 'seed' fields; "
+                          "use --seed for deterministic output")
+        out_dir = pathlib.Path(out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        for run in range(num_runs):
+            run_seed = (seed if seed >= 0 else hash((title, run))) & 0xFFFF_FFFF
+            wavs = self.synthesize_batch(params, seed=run_seed, steps=steps, depth=depth)
+            result = self._concat_segments(params, wavs)
+            filename = (f"{title}-{str(run).zfill(3)}.wav" if num_runs > 1
+                        else f"{title}.wav")
+            save_path = out_dir / filename
+            print(f"| save audio: {save_path}")
+            save_wav(result, save_path, self.hparams["audio_sample_rate"])
 
     def _stack(self, batches, idxs, t_txt, t_mel):
         def cat(key, length, pad_value=0):
@@ -101,6 +152,10 @@ class AcousticServer(DiffSingerAcousticInfer):
                 out[key] = cat(key, t_mel)
         if "languages" in batches[idxs[0]]:
             out["languages"] = cat("languages", t_txt)
+        if "spk_mix_id" in batches[idxs[0]]:
+            out["spk_mix_id"] = cat("spk_mix_id", batches[idxs[0]]["spk_mix_id"].shape[1])
+            val_len = (t_mel if batches[idxs[0]]["spk_mix_value"].shape[1] > 1 else 1)
+            out["spk_mix_value"] = cat("spk_mix_value", val_len)
         return out
 
     def _device_put_batch(self, x):
@@ -109,7 +164,7 @@ class AcousticServer(DiffSingerAcousticInfer):
             x = jax.device_put(x, self._batch_sharding)
         return x
 
-    def _run_group(self, stacked, rng, steps):
+    def _group_kwargs(self, stacked):
         kwargs = {}
         for key in ("key_shift", "speed"):
             if key in stacked:
@@ -120,17 +175,50 @@ class AcousticServer(DiffSingerAcousticInfer):
             kwargs["variances"] = variances
         if "languages" in stacked:
             kwargs["languages"] = self._device_put_batch(stacked["languages"])
+        mix = None
+        if "spk_mix_id" in stacked:
+            mix = {"id": self._device_put_batch(stacked["spk_mix_id"]),
+                   "value": self._device_put_batch(stacked["spk_mix_value"])}
+        return kwargs, mix
+
+    def _run_group(self, stacked, rng, steps):
+        kwargs, mix = self._group_kwargs(stacked)
         key = ("serve", stacked["tokens"].shape, stacked["mel2ph"].shape,
-               tuple(sorted(kwargs)), steps)
+               tuple(sorted(kwargs)), mix is not None, steps)
         if key not in self._jit_cache:
-            self._jit_cache[key] = jax.jit(
-                lambda params, rng, tokens, mel2ph, f0, kw: self.model.forward_infer(
-                    params, rng, tokens, mel2ph, f0, steps=steps, **kw
+
+            def fn(params, rng, tokens, mel2ph, f0, kw, mix):
+                return self.model.forward_infer(
+                    params, rng, tokens, mel2ph, f0, steps=steps,
+                    **self._mixed_kwargs(params, kw, mix),
                 ).diff_out
-            )
+
+            self._jit_cache[key] = jax.jit(fn)
         mel = self._jit_cache[key](
             self.params, rng, self._device_put_batch(stacked["tokens"]),
             self._device_put_batch(stacked["mel2ph"]),
-            self._device_put_batch(stacked["f0"]), kwargs,
+            self._device_put_batch(stacked["f0"]), kwargs, mix,
         )
         return mel, stacked["f0"]
+
+    def _run_group_wav(self, stacked, rng, steps, depth=None):
+        """Fused sampler+vocoder group program -> wav [B, T_mel*hop]."""
+        kwargs, mix = self._group_kwargs(stacked)
+        key = ("serve_wav", stacked["tokens"].shape, stacked["mel2ph"].shape,
+               tuple(sorted(kwargs)), mix is not None, steps, depth)
+        if key not in self._jit_cache:
+
+            def fn(params, voc_params, rng, tokens, mel2ph, f0, kw, mix):
+                out = self.model.forward_infer(
+                    params, rng, tokens, mel2ph, f0, steps=steps, depth=depth,
+                    **self._mixed_kwargs(params, kw, mix),
+                )
+                return self.vocoder.spec2wav_traced(voc_params, out.diff_out, f0)
+
+            self._jit_cache[key] = jax.jit(fn)
+        return self._jit_cache[key](
+            self.params, self.vocoder.params, rng,
+            self._device_put_batch(stacked["tokens"]),
+            self._device_put_batch(stacked["mel2ph"]),
+            self._device_put_batch(stacked["f0"]), kwargs, mix,
+        )

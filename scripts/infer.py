@@ -115,7 +115,11 @@ def main():
 @click.option("--depth", type=click.FloatRange(min=0, max=1), required=False)
 @click.option("--steps", type=click.IntRange(min=1), required=False)
 @click.option("--mel", is_flag=True, help="Save intermediate mel format instead of waveform")
-def acoustic(proj, exp, ckpt, spk, lang, out, title, num, key, gender, seed, depth, steps, mel):
+@click.option("--batch_size", type=click.IntRange(min=1), default=1,
+              help="Serve segments in bucket-grouped batches of this size "
+                   "(throughput mode; per-segment seeds are ignored)")
+def acoustic(proj, exp, ckpt, spk, lang, out, title, num, key, gender, seed, depth, steps, mel,
+             batch_size):
     name = proj.stem if not title else title
     if out is None:
         out = proj.parent
@@ -144,9 +148,14 @@ def acoustic(proj, exp, ckpt, spk, lang, out, title, num, key, gender, seed, dep
         if lang is not None:
             param["lang"] = lang
 
-    from diffsinger_tpu.inference.ds_acoustic import DiffSingerAcousticInfer
+    if batch_size > 1 and not mel:
+        from diffsinger_tpu.inference.serving import AcousticServer
 
-    infer_ins = DiffSingerAcousticInfer(hp, load_vocoder=not mel, ckpt_steps=ckpt)
+        infer_ins = AcousticServer(hp, max_batch_size=batch_size, ckpt_steps=ckpt)
+    else:
+        from diffsinger_tpu.inference.ds_acoustic import DiffSingerAcousticInfer
+
+        infer_ins = DiffSingerAcousticInfer(hp, load_vocoder=not mel, ckpt_steps=ckpt)
     print(f"| Model: {type(infer_ins.model)}")
     try:
         infer_ins.run_inference(

@@ -133,6 +133,9 @@ def main():
     ap.add_argument("--sample", default=None, help=".ds path override")
     ap.add_argument("--steps", type=int, default=None,
                     help="sampler steps override for both stages")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="acoustic stage via AcousticServer with this max "
+                         "batch size (bucket-grouped segment batching)")
     ap.add_argument("--record", action="store_true",
                     help="write docs/perf/chain_bench.json")
     args = ap.parse_args()
@@ -172,7 +175,12 @@ def main():
     var_infer = DiffSingerVarianceInfer(hp_var, predictions=set())  # auto-complete
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")  # random vocoder weights
-        ac_infer = DiffSingerAcousticInfer(hp_ac)
+        if args.batch:
+            from diffsinger_tpu.inference.serving import AcousticServer
+
+            ac_infer = AcousticServer(hp_ac, max_batch_size=args.batch)
+        else:
+            ac_infer = DiffSingerAcousticInfer(hp_ac)
 
     out = tmp / "out"
     print(f"| chain bench: {sample.name}, {len(segments)} segments, "
@@ -192,6 +200,7 @@ def main():
         "wall_s": {"variance": round(t_var, 2), "acoustic_plus_vocoder": round(t_ac, 2)},
         "mel_frames_per_s": round(frames / wall, 1),
         "steps": args.steps or "config defaults",
+        "acoustic_batch": args.batch or "sequential",
         "tiny": bool(args.tiny),
         "device": jax.devices()[0].platform,
     }
