@@ -64,6 +64,11 @@ class DiffSingerAcousticInfer(BaseSVSInfer):
                     f"No checkpoint in '{hparams['work_dir']}'; using RANDOM weights."
                 )
                 self.params = self.model.init(jax.random.PRNGKey(0))
+            # checkpoint loading yields HOST numpy leaves; committing the
+            # pytree to device once keeps every jitted segment call from
+            # re-uploading the full parameter set (on the remote-TPU tunnel
+            # that re-upload costs seconds per dispatch)
+            self.params = jax.device_put(self.params)
             self._jit_cache: Dict = {}
         if load_vocoder:
             self.vocoder = get_vocoder_cls(hparams)(hparams)

@@ -89,6 +89,9 @@ class DiffSingerVarianceInfer(BaseSVSInfer):
 
             warnings.warn(f"No checkpoint in '{hparams['work_dir']}'; using RANDOM weights.")
             self.params = self.model.init(jax.random.PRNGKey(0))
+        # commit the (host-numpy) checkpoint pytree to device once — see
+        # DiffSingerAcousticInfer.__init__ (per-dispatch re-upload otherwise)
+        self.params = jax.device_put(self.params)
 
         self.smooth_kernel_size = max(1, round(hparams["midi_smooth_width"] / self.timestep))
 

@@ -149,3 +149,15 @@ def test_serving_and_crossfade_on_long_multisegment_sample(tmp_path):
     assert rate == sr
     assert n >= end * sr - hop
     assert n <= (end + 2.0) * sr
+
+    # batched CLI path (infer.py acoustic --batch_size): the server's
+    # run_inference writes a wav of the same length via the same
+    # offset/cross-fade concat; per-segment seeds are warned-ignored
+    seeded = [dict(segments[0], seed=7)] + [dict(s) for s in segments[1:4]]
+    with pytest.warns(UserWarning, match="per-segment 'seed'"):
+        server.run_inference(seeded, out_dir=out_dir, title="long08b",
+                             seed=1, steps=2)
+    with wave.open(str(out_dir / "long08b.wav")) as f:
+        nb, rateb = f.getnframes(), f.getframerate()
+    assert rateb == sr
+    assert abs(nb - n) <= 2 * hop
