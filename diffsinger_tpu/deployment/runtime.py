@@ -50,13 +50,17 @@ class AcousticArtifactRuntime:
     """
 
     def __init__(self, bundle_dir, params):
+        import jax
         from jax import export as jexport
 
         self.dir = pathlib.Path(bundle_dir)
         with open(self.dir / "dsconfig.yaml") as f:
             self.manifest = yaml.safe_load(f)
         _check_stablehlo_flavor(self.manifest)
-        self.params = params
+        # commit once: a host-numpy checkpoint pytree would otherwise be
+        # re-uploaded on every artifact call (seconds per dispatch on
+        # remote-TPU runtimes)
+        self.params = jax.device_put(params)
         self._loaded: Dict[str, object] = {}
         buckets = self.manifest.get("buckets") or {}
         if not buckets:
@@ -146,6 +150,7 @@ class VarianceArtifactRuntime:
     optional expr) with in-graph alignment and base-pitch smoothing."""
 
     def __init__(self, bundle_dir, params):
+        import jax
         from jax import export as jexport
 
         self.dir = pathlib.Path(bundle_dir)
@@ -154,7 +159,8 @@ class VarianceArtifactRuntime:
         _check_stablehlo_flavor(self.manifest)
         if "linguistic" not in self.manifest:
             raise ValueError("not a variance bundle: manifest has no 'linguistic'")
-        self.params = params
+        # commit once — see AcousticArtifactRuntime.__init__
+        self.params = jax.device_put(params)
         self._loaded: Dict[str, object] = {}
         buckets = self.manifest.get("buckets") or {}
         if not buckets:

@@ -55,7 +55,9 @@ class DDSP:
             n_mag_harmonic=int(meta["n_mag_harmonic"]),
             n_mag_noise=int(meta["n_mag_noise"]),
         )
-        self.params = {"params": blob["params"]}
+        # msgpack_restore yields host numpy; commit once so repeated jitted
+        # calls don't re-upload the pytree (remote-TPU transfer cost)
+        self.params = jax.device_put({"params": blob["params"]})
         self._jitted = jax.jit(
             lambda p, mel, f0, rng: self.model.apply(p, mel, f0, rng=rng)
         )
