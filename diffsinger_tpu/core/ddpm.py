@@ -124,13 +124,16 @@ def sample_plms(
         x, n1, n2, n3, count = carry
         i, t = step
         tb = jnp.full((b,), t, dtype=jnp.int32)
-        noise_pred = denoise_fn(x, tb)
+        # multistep history math runs in the carry dtype (fp32): a bf16
+        # denoiser otherwise makes the cond branches disagree (warmup would
+        # stay bf16 while the history blend promotes against fp32 zeros)
+        noise_pred = denoise_fn(x, tb).astype(x.dtype)
 
         def warmup(_):
             x_pred = get_x_pred(x, noise_pred, t)
             t_prev = jnp.maximum(t - interval, 0)
             noise_prev = denoise_fn(x_pred, jnp.full((b,), t_prev, dtype=jnp.int32))
-            return (noise_pred + noise_prev) / 2
+            return (noise_pred + noise_prev.astype(x.dtype)) / 2
 
         def multistep(_):
             prime1 = (3 * noise_pred - n1) / 2
@@ -264,7 +267,7 @@ def inference(
     if speedup > 1 and t_max > 0:
         if algorithm == "ddim":
             x = sample_ddim(denoise_fn, sched, x, t_max, speedup)
-        elif algorithm == "pndm":
+        elif algorithm in ("pndm", "plms"):  # the schema documents both spellings
             x = sample_plms(denoise_fn, sched, x, t_max, speedup)
         elif algorithm in ("dpm-solver", "unipc"):
             from .fast_solvers import sample_dpmpp_2m, sample_unipc_2

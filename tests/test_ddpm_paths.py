@@ -54,6 +54,25 @@ def test_ddpm_acoustic_inference_paths(ddpm_hp, accelerator, speedup):
     assert np.abs(mel).max() < 100
 
 
+@pytest.mark.parametrize("accelerator", ["ddim", "pndm", "dpm-solver", "unipc"])
+def test_ddpm_accelerators_under_bf16_denoiser(ddpm_hp, accelerator):
+    """infer_precision bf16: the denoiser returns bfloat16 while the sampler
+    carry is fp32 — PNDM's warmup/multistep cond branches must agree on dtype
+    (regression: bf16 PLMS failed to trace before the explicit cast)."""
+    from diffsinger_tpu.models.toplevel import DiffSingerAcoustic
+
+    hp = dict(ddpm_hp, diff_accelerator=accelerator, diff_speedup=5)
+    model = DiffSingerAcoustic(hp, vocab_size=30, out_dims=16, dtype=jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0))
+    tokens = jnp.ones((1, 8), jnp.int32)
+    mel2ph = jnp.asarray(np.repeat(np.arange(1, 9), 4)[None].astype(np.int32))
+    f0 = jnp.full((1, 32), 220.0, jnp.float32)
+    out = model.forward_infer(params, jax.random.PRNGKey(1), tokens, mel2ph, f0)
+    mel = np.asarray(out.diff_out)
+    assert mel.shape == (1, 32, 16)
+    assert np.isfinite(mel).all()
+
+
 def test_ddpm_training_t_range(ddpm_hp):
     from diffsinger_tpu.models.toplevel import DiffSingerAcoustic
 
