@@ -358,111 +358,157 @@ class BaseTask:
         # DS_SYNC_STEPS=0/1 overrides either way.
         remote_runtime = jax.devices()[0].platform == "axon"
         sync_steps = os.environ.get("DS_SYNC_STEPS", "1" if remote_runtime else "0") == "1"
+        # opt-in half-precision WIRE format for float batch arrays: halves the
+        # host->device bytes of the dominant transfer (the mel target — the
+        # measured bottleneck over the remote tunnel: 651 ms upload vs 261 ms
+        # device compute per 50k-frame step, docs/perf/train_parts.json). The
+        # train step restores float32 on device before any arithmetic
+        # (make_train_step), so only the targets' storage granularity changes
+        # (f16 ulp at |mel|=12 is ~8e-3). Default off: float32 wire keeps
+        # reference-exact targets.
+        wire_f16 = str(hp.get("train_wire_dtype", "float32")).lower() in (
+            "float16", "f16", "fp16")
         # gate val/log on a step *change* so grad accumulation (k micro-batches
         # per applied update) doesn't re-trigger them k times per boundary
         last_val_step = step
         last_log_step = step
-        while step < max_updates:
-            sampler = make_sampler(rank)
-            sampler.set_epoch(epoch)
-            if n_proc > 1:
-                # every host deterministically recomputes its peers' batch
-                # assignments (same seed/epoch/sizes) so global pad targets
-                # need no communication; one forming pass yields all ranks
-                peer_batches = sampler.all_rank_batches()
-                n_positions = min(len(b) for b in peer_batches)
-            else:
-                peer_batches, n_positions = None, None
-            local_batches = peer_batches[rank] if peer_batches is not None else sampler
-            for pos, indices in enumerate(local_batches):
-                if not indices:
-                    continue
-                if peer_batches is not None:
-                    if pos >= n_positions:
-                        break
-                    all_indices = [i for b in peer_batches for i in b[pos]]
-                    pad_to = train_ds.pad_targets(all_indices, train_ds.PAD_AXES, bucket_steps)
-                    global_max_b = max(len(b[pos]) for b in peer_batches)
-                    target_b = _bucket_batch_size(global_max_b, n_devices_local)
+        def prepared_batches():
+            """Host-side batch prep (epoch forming, collate, pad, device
+            commit) as ONE generator spanning epochs, so the hot loop can
+            prepare batch k+1 BETWEEN dispatching step k and fetching its
+            loss — the collate and the host→device transfer then overlap
+            device compute even in per-step-sync mode (pipeline depth stays
+            1: no second step is dispatched before the previous loss
+            arrives, so the donated-state pileup measured on the axon
+            runtime cannot occur). Spanning epochs matters: a production
+            frame budget over a small corpus can form very few batches per
+            epoch (the train bench's fills exactly one), and a per-epoch
+            generator would have nothing to prefetch."""
+            nonlocal epoch
+            while True:
+                sampler = make_sampler(rank)
+                sampler.set_epoch(epoch)
+                if n_proc > 1:
+                    # every host deterministically recomputes its peers' batch
+                    # assignments (same seed/epoch/sizes) so global pad targets
+                    # need no communication; one forming pass yields all ranks
+                    peer_batches = sampler.all_rank_batches()
+                    n_positions = min(len(b) for b in peer_batches)
                 else:
-                    pad_to = None
-                    target_b = None
-                batch = train_ds.collater([train_ds[i] for i in indices], pad_to=pad_to)
-                batch.pop("indices", None)
-                size = batch.pop("size")
-                # pad the batch axis to a power-of-two device multiple with
-                # loss-masked duplicate rows (bounded jit cache, zero
-                # gradient weight for the padding — see pad_batch_rows)
-                if target_b is None:
-                    target_b = _bucket_batch_size(size, n_devices_local)
-                batch = pad_batch_rows(batch, size, target_b)
-                batch = make_global_batch(self.mesh, batch)
-
-                key = tuple(sorted((k, v.shape) for k, v in batch.items()))
-                if key not in jitted:
-                    if os.environ.get("DS_LOG_FLOPS") == "1":
-                        # AOT path: the SAME executable serves cost analysis
-                        # and the training calls (no duplicate compile)
-                        with self.mesh:
-                            compiled = jax.jit(
-                                train_step, donate_argnums=0
-                            ).lower(state, batch, rng).compile()
-                        try:
-                            cost = compiled.cost_analysis()
-                            if isinstance(cost, (list, tuple)):
-                                cost = cost[0]
-                            print(f"| train_step_flops batch={target_b} "
-                                  f"frames={max(v.shape[1] for v in batch.values() if v.ndim > 1)} "
-                                  f"flops={float(cost.get('flops', 0.0)):.4e}",
-                                  flush=True)
-                        except Exception:
-                            pass
-                        jitted[key] = compiled
+                    peer_batches, n_positions = None, None
+                local_batches = peer_batches[rank] if peer_batches is not None else sampler
+                yielded = 0
+                for pos, indices in enumerate(local_batches):
+                    if not indices:
+                        continue
+                    if peer_batches is not None:
+                        if pos >= n_positions:
+                            break
+                        all_indices = [i for b in peer_batches for i in b[pos]]
+                        pad_to = train_ds.pad_targets(
+                            all_indices, train_ds.PAD_AXES, bucket_steps)
+                        global_max_b = max(len(b[pos]) for b in peer_batches)
+                        target_b = _bucket_batch_size(global_max_b, n_devices_local)
                     else:
-                        jitted[key] = jax.jit(train_step, donate_argnums=0)
-                if profile_steps and not profiling and step >= profile_start:
-                    from jax import profiler as jax_profiler
+                        pad_to = None
+                        target_b = None
+                    batch = train_ds.collater([train_ds[i] for i in indices], pad_to=pad_to)
+                    batch.pop("indices", None)
+                    size = batch.pop("size")
+                    # pad the batch axis to a power-of-two device multiple with
+                    # loss-masked duplicate rows (bounded jit cache, zero
+                    # gradient weight for the padding — see pad_batch_rows)
+                    if target_b is None:
+                        target_b = _bucket_batch_size(size, n_devices_local)
+                    batch = pad_batch_rows(batch, size, target_b)
+                    if wire_f16:
+                        batch = {
+                            k: (v.astype(np.float16)
+                                if isinstance(v, np.ndarray) and v.dtype == np.float32
+                                else v)
+                            for k, v in batch.items()
+                        }
+                    batch = make_global_batch(self.mesh, batch)
+                    key = tuple(sorted((k, v.shape) for k, v in batch.items()))
+                    yield key, batch
+                    yielded += 1
+                if not yielded:
+                    raise RuntimeError(
+                        "training epoch formed no batches — empty dataset or "
+                        "every batch position was dropped by the multi-host "
+                        "minimum; check max_batch_frames vs item lengths")
+                epoch += 1
 
-                    jax_profiler.start_trace(str(pathlib.Path(hp["work_dir"]) / "profile"))
-                    profiling = True
-                with self.mesh:
-                    state, metrics = jitted[key](state, batch, rng)
-                if sync_steps:
-                    float(metrics["total_loss"])
-                elif pending_metrics is not None:
-                    float(pending_metrics["total_loss"])
-                pending_metrics = metrics
-                micro += 1
-                step = start_step + micro // accum
-                if profiling and step >= profile_start + profile_steps:
-                    from jax import profiler as jax_profiler
+        batch_iter = prepared_batches()
+        pending_batch = next(batch_iter, None)
+        while pending_batch is not None and step < max_updates:
+            key, batch = pending_batch
+            if key not in jitted:
+                if os.environ.get("DS_LOG_FLOPS") == "1":
+                    # AOT path: the SAME executable serves cost analysis
+                    # and the training calls (no duplicate compile)
+                    with self.mesh:
+                        compiled = jax.jit(
+                            train_step, donate_argnums=0
+                        ).lower(state, batch, rng).compile()
+                    try:
+                        cost = compiled.cost_analysis()
+                        if isinstance(cost, (list, tuple)):
+                            cost = cost[0]
+                        rows = max(v.shape[0] for v in batch.values() if v.ndim >= 1)
+                        print(f"| train_step_flops batch={rows} "
+                              f"frames={max(v.shape[1] for v in batch.values() if v.ndim > 1)} "
+                              f"flops={float(cost.get('flops', 0.0)):.4e}",
+                              flush=True)
+                    except Exception:
+                        pass
+                    jitted[key] = compiled
+                else:
+                    jitted[key] = jax.jit(train_step, donate_argnums=0)
+            if profile_steps and not profiling and step >= profile_start:
+                from jax import profiler as jax_profiler
 
-                    jax.block_until_ready(state.params)
-                    jax_profiler.stop_trace()
-                    profiling = False
-                    profile_steps = 0
-                    print(f"| xprof trace saved to {hp['work_dir']}/profile")
+                jax_profiler.start_trace(str(pathlib.Path(hp["work_dir"]) / "profile"))
+                profiling = True
+            with self.mesh:
+                state, metrics = jitted[key](state, batch, rng)
+            # prepare the NEXT batch while the device runs this step
+            # (prepared_batches docstring); the loss fetch below then
+            # only waits for whatever compute the host prep didn't hide
+            pending_batch = next(batch_iter, None)
+            if sync_steps:
+                float(metrics["total_loss"])
+            elif pending_metrics is not None:
+                float(pending_metrics["total_loss"])
+            pending_metrics = metrics
+            micro += 1
+            step = start_step + micro // accum
+            if profiling and step >= profile_start + profile_steps:
+                from jax import profiler as jax_profiler
 
-                if step % log_interval == 0 and step != last_log_step:
-                    last_log_step = step
-                    metrics = {k: float(v) for k, v in metrics.items()}
-                    lr = schedule(step)
-                    dt = time.time() - t_last
-                    t_last = time.time()
-                    self.logger.add_scalar("training/lr", lr, step)
-                    for k, v in metrics.items():
-                        self.logger.add_scalar(f"training/{k}", v, step)
-                    print(f"| step {step} " +
-                          " ".join(f"{k}={v:.4f}" for k, v in metrics.items()) +
-                          f" lr={lr:.2e} ({log_interval / max(dt, 1e-9):.2f} it/s)")
+                jax.block_until_ready(state.params)
+                jax_profiler.stop_trace()
+                profiling = False
+                profile_steps = 0
+                print(f"| xprof trace saved to {hp['work_dir']}/profile")
 
-                if step % val_interval == 0 and step != last_val_step:
-                    last_val_step = step
-                    self.run_validation(state, valid_ds)
-                    self._save(state)
-                if step >= max_updates:
-                    break
-            epoch += 1
+            if step % log_interval == 0 and step != last_log_step:
+                last_log_step = step
+                metrics = {k: float(v) for k, v in metrics.items()}
+                lr = schedule(step)
+                dt = time.time() - t_last
+                t_last = time.time()
+                self.logger.add_scalar("training/lr", lr, step)
+                for k, v in metrics.items():
+                    self.logger.add_scalar(f"training/{k}", v, step)
+                print(f"| step {step} " +
+                      " ".join(f"{k}={v:.4f}" for k, v in metrics.items()) +
+                      f" lr={lr:.2e} ({log_interval / max(dt, 1e-9):.2f} it/s)")
+
+            if step % val_interval == 0 and step != last_val_step:
+                last_val_step = step
+                self.run_validation(state, valid_ds)
+                self._save(state)
         if step != last_val_step:  # don't repeat an interval-triggered val/save
             self.run_validation(state, valid_ds)
             self._save(state)

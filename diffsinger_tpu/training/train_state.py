@@ -81,6 +81,11 @@ def make_train_step(loss_fn, tx):
     """
 
     def train_step(state: TrainState, batch, rng: jax.Array):
+        # float16 leaves are a WIRE format (train_wire_dtype, base_task.py):
+        # restore float32 on device before any arithmetic so loss math never
+        # runs in f16
+        batch = jax.tree.map(
+            lambda x: x.astype(jnp.float32) if x.dtype == jnp.float16 else x, batch)
         rng = jax.random.fold_in(rng, state.step)
 
         def wrapped(params):

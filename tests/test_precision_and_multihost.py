@@ -101,6 +101,26 @@ def test_train_loop_compile_count_bounded(tmp_path):
         assert shapes["x"][1] % MiniDataset.frame_bucket == 0, key
 
 
+# ------------------------------------------------------- f16 wire format ----
+
+def test_train_wire_f16_matches_f32(tmp_path):
+    """train_wire_dtype float16 is a TRANSPORT format only: float32 batch
+    arrays cross host->device at half width and the train step restores f32
+    before any arithmetic, so training tracks the f32-wire run to f16 input
+    granularity (docs/perf/train_parts.json: the upload is the measured
+    bottleneck at production batch sizes over the remote tunnel)."""
+    dict_path = write_mini_dict(tmp_path)
+    results = {}
+    for wire in ("float32", "float16"):
+        hp = mini_hparams(tmp_path / wire, dict_path, train_wire_dtype=wire)
+        task = make_mini_task(hp)
+        state = task.start(max_steps=6)
+        results[wire] = np.asarray(jax.device_get(state.params["w"]))
+    assert np.isfinite(results["float16"]).all()
+    np.testing.assert_allclose(
+        results["float16"], results["float32"], rtol=0, atol=5e-3)
+
+
 # ------------------------------------------------------ loss regressions ----
 
 def test_dur_loss_no_nan_on_negative_linear_predictions():

@@ -55,10 +55,11 @@ def make_corpus(raw: pathlib.Path, dict_path: pathlib.Path, n_items: int, second
     (raw / "transcriptions.csv").write_text("\n".join(rows) + "\n")
 
 
-def write_config(work, raw, dict_path, frames):
+def write_config(work, raw, dict_path, frames, wire="float32"):
     cfg = work / "config_bench.yaml"
     cfg.write_text(
         f"""\
+train_wire_dtype: {wire}
 base_config:
   - {ROOT}/configs/acoustic.yaml
 dictionaries:
@@ -112,8 +113,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=60)
     ap.add_argument("--frames", type=int, default=50000)
-    ap.add_argument("--items", type=int, default=24)
+    # 58 items x ~862 frames -> 57 train items = exactly ONE batch that FILLS
+    # the 50k-frame budget (one shape bucket, clean steady-state numbers);
+    # the old 24-item default capped batches at ~29k frames and understated
+    # both frames/s and MFU
+    ap.add_argument("--items", type=int, default=58)
     ap.add_argument("--seconds", type=float, default=10.0)
+    ap.add_argument("--wire", type=str, default="float32",
+                    help="train_wire_dtype (float16 halves the host->device "
+                         "batch transfer; see docs/perf/train_parts.json)")
     ap.add_argument("--work", type=str, default=str(ROOT / ".trainbench"))
     args = ap.parse_args()
 
@@ -127,7 +135,7 @@ def main():
     dict_path = work / "dict.txt"
     if not (work / "binary" / "train.data").exists():
         make_corpus(raw, dict_path, args.items, args.seconds)
-    cfg = write_config(work, raw, dict_path, args.frames)
+    cfg = write_config(work, raw, dict_path, args.frames, wire=args.wire)
 
     env_cpu = dict(os.environ, JAX_PLATFORMS="cpu")
     if not (work / "binary" / "train.data").exists():
@@ -161,6 +169,30 @@ def main():
         # uniform synthetic corpus -> typically one bucket; use the largest
         mfu = round(max(s["flops"] for s in step_flops) * steady
                     / (peak_tflops * 1e12), 4)
+    # ACTUAL content frames/s: steady steps/s x (corpus frames / batches per
+    # epoch), from the binarized metadata + the real sampler — the budget
+    # upper bound overstates throughput whenever batches don't fill it
+    frames_actual = None
+    try:
+        sys.path.insert(0, str(ROOT))
+        from diffsinger_tpu.config import load_config
+        from diffsinger_tpu.data.batch_sampler import DsBatchSampler
+        from diffsinger_tpu.data.dataset import AcousticDataset
+
+        hp = load_config(str(cfg), save_snapshot=False)
+        ds = AcousticDataset(hp["binary_data_dir"], hp, "train")
+        sampler = DsBatchSampler(
+            ds.sizes, max_batch_frames=args.frames,
+            max_batch_size=hp.get("max_batch_size", 64), num_replicas=1,
+            rank=0, frame_count_grid=hp.get("sampler_frame_count_grid", 6),
+            shuffle_sample=True, shuffle_batch=True, seed=hp.get("seed") or 0)
+        sampler.set_epoch(0)
+        n_batches = sum(1 for b in sampler if b)
+        if steady and n_batches:
+            frames_actual = round(
+                float(sum(int(s) for s in ds.sizes)) / n_batches * steady, 1)
+    except Exception:
+        pass
     import jax
 
     result = {
@@ -176,8 +208,11 @@ def main():
         "mel_frames_per_s_upper_bound": (
             round(args.frames * steady, 1) if steady else None
         ),
+        "mel_frames_per_s_actual": frames_actual,
         "train_step_flops": step_flops,
-        "mfu": mfu,
+        "mfu": mfu,  # whole-loop MFU (includes host collate + transfer time;
+        # device-only MFU is decomposed in docs/perf/train_parts.json)
+        "wire_dtype": args.wire,
         "peak_tflops_assumed": peak_tflops,
     }
     out = ROOT / "docs" / "perf" / "train_bench.json"
