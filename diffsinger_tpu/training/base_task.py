@@ -303,7 +303,16 @@ class BaseTask:
         max_updates = max_steps if max_steps is not None else hp.get("max_updates", 160000)
         val_interval = hp.get("val_check_interval", 2000)
         log_interval = hp.get("log_interval", 100)
-        rng = jax.random.PRNGKey(hp.get("seed") or 0)
+        # TRAINING rng stream (dropout masks + diffusion noise/t draws).
+        # 'rbg' keys generate bits through the TPU-native XLA RngBitGenerator
+        # instead of lane-serial threefry — measured 8-17 ms/step cheaper at
+        # the production batch (docs/perf/aux_probe.json: the aux decoder's
+        # dropout alone costs 17 ms/step in threefry bits). split/fold_in
+        # stay threefry-derived, so stream independence is unaffected; only
+        # the per-element bit generation changes. Param INIT keeps the
+        # default impl (init reproducibility is seed-documented).
+        rng = jax.random.key(hp.get("seed") or 0,
+                             impl=hp.get("train_rng_impl", "rbg"))
         bucket_steps = {
             "t_mel": getattr(train_ds, "frame_bucket", 128),
             "t_txt": getattr(train_ds, "token_bucket", 16),

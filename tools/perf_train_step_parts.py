@@ -1,0 +1,195 @@
+"""Decompose the production acoustic TRAIN STEP's device compute
+(BASELINE config #5; companion to perf_train_parts.py, which decomposes the
+host loop around it).
+
+perf_train_parts.py measured the on-device step at 261 ms / 36.6% MFU for
+18.8 TFLOP at B=64 x T=896.  This tool answers WHERE that device time goes by
+AOT-compiling and timing sub-programs of the step on the same shapes:
+
+  full          fwd + bwd + AdamW update (the deployed train step)
+  grad          value_and_grad only (full minus the optimizer update)
+  fwd           loss forward only
+  denoise_fwd   one denoiser evaluation (LYNX 6x1024) alone
+  denoise_grad  denoiser fwd+bwd alone (param grads of a scalar readout)
+  encoder_fwd   FS2 encoder (encode method) alone
+  aux_fwd       shallow-diffusion aux decoder (ConvNeXt 6x512) alone
+
+Every program gets XLA cost-analysis FLOPs so per-part MFU is comparable.
+Timings fetch a scalar per call (the axon tunnel's block_until_ready does not
+force remote execution).  Writes docs/perf/train_step_parts.json.
+
+Usage: python tools/perf_train_step_parts.py [--batch 64] [--frames 896]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+ROOT = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--frames", type=int, default=896)
+    ap.add_argument("--tokens", type=int, default=112)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--rng", type=str, default="threefry2x32",
+                    help="PRNG impl for the training rng stream "
+                         "(rbg = XLA RngBitGenerator, the TPU-native fast path)")
+    ap.add_argument("--only", type=str, default=None,
+                    help="comma-separated subset of programs to run")
+    args = ap.parse_args()
+
+    from diffsinger_tpu.utils.jax_setup import setup_jax
+
+    setup_jax()
+    import jax
+    import jax.numpy as jnp
+
+    from diffsinger_tpu.config import load_config
+    from diffsinger_tpu.models.toplevel import DiffSingerAcoustic
+    from diffsinger_tpu.training.acoustic_task import make_acoustic_loss_fn
+    from diffsinger_tpu.training.train_state import (
+        build_optimizer, create_train_state, make_train_step,
+    )
+
+    hp = load_config(str(ROOT / "configs" / "acoustic.yaml"), save_snapshot=False)
+    # match tools/tpu_train_bench.py's config: bf16 compute, no aug embeds
+    hp.update(use_energy_embed=False, use_breathiness_embed=False,
+              use_key_shift_embed=False, use_speed_embed=False,
+              pl_trainer_precision="16-mixed")
+    n_mels = hp["audio_num_mel_bins"]
+
+    model = DiffSingerAcoustic(hp, vocab_size=62, out_dims=n_mels, dtype=jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0))
+    loss_fn = make_acoustic_loss_fn(model)
+    tx, _ = build_optimizer(hp)
+    state = create_train_state(params, tx)
+    train_step = make_train_step(loss_fn, tx)
+
+    B, T_MEL, T_TXT = args.batch, args.frames, args.tokens
+    rng_np = np.random.default_rng(0)
+    batch = {
+        "tokens": jnp.asarray(rng_np.integers(1, 60, (B, T_TXT)).astype(np.int32)),
+        "mel2ph": jnp.asarray(np.tile(
+            np.repeat(np.arange(1, T_TXT + 1), T_MEL // T_TXT)[None], (B, 1)
+        ).astype(np.int32)),
+        "f0": jnp.asarray(np.full((B, T_MEL), 220.0, np.float32)),
+        "mel": jnp.asarray(rng_np.normal(-6.0, 2.0, (B, T_MEL, n_mels)).astype(np.float32)),
+    }
+    key = jax.random.key(2, impl=args.rng)
+
+    # sub-program inputs: cond from the encoder, a noisy x + t for the denoiser
+    def encode(params, batch, rng):
+        cond = model.module.apply(
+            params, batch["tokens"], batch["mel2ph"], batch["f0"],
+            deterministic=False, rngs={"dropout": rng}, method="encode")
+        return jnp.abs(cond.astype(jnp.float32)).mean(), cond
+
+    def make_cond():
+        return jax.jit(lambda p, b, r: encode(p, b, r)[1])(params, batch, key)
+
+    cond = make_cond()
+    x = jnp.asarray(rng_np.normal(0, 1, (B, T_MEL, n_mels)).astype(np.float32))
+    t_vec = jnp.asarray(np.full((B,), 500.0, np.float32))
+
+    def denoise_fwd(params, x, t, cond):
+        out = model.module.apply(params, x, t, cond, method="denoise")
+        return jnp.abs(out.astype(jnp.float32)).mean()
+
+    def denoise_grad(params, x, t, cond):
+        g = jax.grad(denoise_fwd)(params, x, t, cond)
+        return jax.tree_util.tree_reduce(
+            lambda a, l: a + jnp.abs(l.astype(jnp.float32)).sum(), g, 0.0)
+
+    def aux_fwd(params, cond, rng):
+        out = model.module.apply(params, cond, infer=False, deterministic=False,
+                                 rngs={"dropout": rng}, method="aux")
+        return jnp.abs(out.astype(jnp.float32)).mean()
+
+    def fwd(params, batch, rng):
+        loss, _ = loss_fn(params, batch, rng)
+        return loss
+
+    def grad(state, batch, rng):
+        (loss, _), grads = jax.value_and_grad(
+            lambda p: loss_fn(p, batch, rng), has_aux=True)(state.params)
+        return loss + jax.tree_util.tree_reduce(
+            lambda a, l: a + jnp.abs(l.astype(jnp.float32)).sum(), grads, 0.0)
+
+    def full(state, batch, rng):
+        new_state, metrics = train_step(state, batch, rng)
+        return metrics["total_loss"], new_state
+
+    programs = {
+        "encoder_fwd": (lambda: jax.jit(lambda p, b, r: encode(p, b, r)[0])
+                        .lower(params, batch, key).compile(),
+                        lambda c, i: c(params, batch, jax.random.fold_in(key, i))),
+        "aux_fwd": (lambda: jax.jit(aux_fwd).lower(params, cond, key).compile(),
+                    lambda c, i: c(params, cond, jax.random.fold_in(key, i))),
+        "denoise_fwd": (lambda: jax.jit(denoise_fwd).lower(params, x, t_vec, cond).compile(),
+                        lambda c, i: c(params, x, t_vec, cond)),
+        "denoise_grad": (lambda: jax.jit(denoise_grad).lower(params, x, t_vec, cond).compile(),
+                         lambda c, i: c(params, x, t_vec, cond)),
+        "fwd": (lambda: jax.jit(fwd).lower(params, batch, key).compile(),
+                lambda c, i: c(params, batch, jax.random.fold_in(key, i))),
+        "grad": (lambda: jax.jit(grad).lower(state, batch, key).compile(),
+                 lambda c, i: c(state, batch, jax.random.fold_in(key, i))),
+        "full": (lambda: jax.jit(full).lower(state, batch, key).compile(),
+                 lambda c, i: c(state, batch, jax.random.fold_in(key, i))[0]),
+    }
+
+    if args.only:
+        keep = set(args.only.split(","))
+        programs = {k: v for k, v in programs.items() if k in keep}
+
+    peak = float(os.environ.get("DS_BENCH_PEAK_TFLOPS", "197")) * 1e12
+    result = {"device": jax.devices()[0].platform, "batch": B, "frames": T_MEL,
+              "rng_impl": args.rng, "parts": {}}
+    for name, (build, call) in programs.items():
+        t0 = time.time()
+        compiled = build()
+        compile_s = time.time() - t0
+        flops = None
+        try:
+            cost = compiled.cost_analysis()
+            cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+            flops = float(cost.get("flops", 0.0)) or None
+        except Exception:
+            pass
+        for i in range(2):  # warmup
+            v = float(np.asarray(jax.device_get(call(compiled, 100 + i))).ravel()[0])
+            assert np.isfinite(v), name
+        times = []
+        for i in range(args.iters):
+            t0 = time.perf_counter()
+            float(np.asarray(jax.device_get(call(compiled, i))).ravel()[0])
+            times.append(time.perf_counter() - t0)
+        med = sorted(times)[len(times) // 2]
+        result["parts"][name] = {
+            "ms": round(med * 1e3, 1),
+            "flops": flops,
+            "mfu": round(flops / med / peak, 4) if flops else None,
+            "compile_s": round(compile_s, 1),
+        }
+        print(f"| {name:13s} {med*1e3:8.1f} ms  "
+              f"{(flops or 0)/1e12:7.2f} TFLOP  "
+              f"MFU {(flops / med / peak if flops else 0)*100:5.1f}%", flush=True)
+
+    if not args.only and args.rng == "threefry2x32":
+        out = ROOT / "docs" / "perf" / "train_step_parts.json"
+        out.write_text(json.dumps(result, indent=2) + "\n")
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
