@@ -121,6 +121,21 @@ def test_train_wire_f16_matches_f32(tmp_path):
         results["float16"], results["float32"], rtol=0, atol=5e-3)
 
 
+def test_training_is_deterministic_for_fixed_seed(tmp_path):
+    """Same seed + same data -> bitwise-identical params after N steps, with
+    the default rng impl (rbg since r3: bits from the XLA RngBitGenerator).
+    Guards the prefetch/dispatch ordering and the rng-impl plumbing against
+    nondeterminism regressions."""
+    results = []
+    for run in range(2):
+        dict_path = write_mini_dict(tmp_path)
+        hp = mini_hparams(tmp_path / f"run{run}", dict_path, seed=123)
+        task = make_mini_task(hp)
+        state = task.start(max_steps=6)
+        results.append(np.asarray(jax.device_get(state.params["w"])))
+    np.testing.assert_array_equal(results[0], results[1])
+
+
 # ------------------------------------------------------ loss regressions ----
 
 def test_dur_loss_no_nan_on_negative_linear_predictions():

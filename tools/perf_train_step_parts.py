@@ -144,9 +144,22 @@ def main():
                 lambda c, i: c(params, batch, jax.random.fold_in(key, i))),
         "grad": (lambda: jax.jit(grad).lower(state, batch, key).compile(),
                  lambda c, i: c(state, batch, jax.random.fold_in(key, i))),
-        "full": (lambda: jax.jit(full).lower(state, batch, key).compile(),
-                 lambda c, i: c(state, batch, jax.random.fold_in(key, i))[0]),
+        # donation matters: production jits with donate_argnums=0; an
+        # undonated step pays param/opt-state copies (~17 ms at this scale).
+        # The holder threads the returned state so each call donates the
+        # previous one, exactly like the training loop.
+        "full": (lambda: jax.jit(full, donate_argnums=0)
+                 .lower(state, batch, key).compile(),
+                 lambda c, i: _thread_full(c, i)),
     }
+    _holder = {}
+
+    def _thread_full(c, i):
+        if "state" not in _holder:
+            _holder["state"] = jax.device_put(state)
+        loss, new_state = c(_holder["state"], batch, jax.random.fold_in(key, i))
+        _holder["state"] = new_state
+        return loss
 
     if args.only:
         keep = set(args.only.split(","))
@@ -185,7 +198,7 @@ def main():
               f"{(flops or 0)/1e12:7.2f} TFLOP  "
               f"MFU {(flops / med / peak if flops else 0)*100:5.1f}%", flush=True)
 
-    if not args.only and args.rng == "threefry2x32":
+    if not args.only:
         out = ROOT / "docs" / "perf" / "train_step_parts.json"
         out.write_text(json.dumps(result, indent=2) + "\n")
     print(json.dumps(result))

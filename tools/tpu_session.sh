@@ -34,6 +34,9 @@ run train_bench 2400 python tools/tpu_train_bench.py
 # 3. batch sweep confirmation at the new default (optional, cheap when cached)
 DS_BENCH_BATCH=8 run bench_b8 1200 python bench.py
 
+# 3b. variance-family training bench at its production 80k-frame budget
+run train_bench_variance 2400 python tools/tpu_train_bench.py --task variance
+
 # 4. variance->acoustic chain on a shipped reference-scale score (BASELINE #2)
 run chain_bench 2400 python tools/tpu_chain_bench.py --record
 

@@ -55,13 +55,13 @@ def make_corpus(raw: pathlib.Path, dict_path: pathlib.Path, n_items: int, second
     (raw / "transcriptions.csv").write_text("\n".join(rows) + "\n")
 
 
-def write_config(work, raw, dict_path, frames, wire="float32"):
+def write_config(work, raw, dict_path, frames, wire="float32", task="acoustic"):
     cfg = work / "config_bench.yaml"
     cfg.write_text(
         f"""\
 train_wire_dtype: {wire}
 base_config:
-  - {ROOT}/configs/acoustic.yaml
+  - {ROOT}/configs/{task}.yaml
 dictionaries:
   zh: {dict_path}
 datasets:
@@ -111,19 +111,30 @@ def run(cmd, log_path, env=None):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--task", choices=["acoustic", "variance"], default="acoustic")
     ap.add_argument("--steps", type=int, default=60)
-    ap.add_argument("--frames", type=int, default=50000)
-    # 58 items x ~862 frames -> 57 train items = exactly ONE batch that FILLS
-    # the 50k-frame budget (one shape bucket, clean steady-state numbers);
-    # the old 24-item default capped batches at ~29k frames and understated
-    # both frames/s and MFU
-    ap.add_argument("--items", type=int, default=58)
+    # production budgets: acoustic.yaml max_batch_frames=50k, variance.yaml=80k
+    ap.add_argument("--frames", type=int, default=None)
+    # acoustic: 58 items x ~862 frames -> 57 train items = exactly ONE batch
+    # that FILLS the 50k-frame budget (one shape bucket, clean steady-state
+    # numbers); a smaller corpus caps batches below budget and understates
+    # both frames/s and MFU. variance: the 64-row max_batch_size cap binds
+    # first (64 x ~862 = ~55k of the 80k budget), so 65 items -> one
+    # cap-bound batch.
+    ap.add_argument("--items", type=int, default=None)
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--wire", type=str, default="float32",
                     help="train_wire_dtype (float16 halves the host->device "
                          "batch transfer; see docs/perf/train_parts.json)")
-    ap.add_argument("--work", type=str, default=str(ROOT / ".trainbench"))
+    ap.add_argument("--work", type=str, default=None)
     args = ap.parse_args()
+    if args.frames is None:
+        args.frames = 50000 if args.task == "acoustic" else 80000
+    if args.items is None:
+        args.items = 58 if args.task == "acoustic" else 65
+    if args.work is None:
+        args.work = str(ROOT / (".trainbench" if args.task == "acoustic"
+                                else ".trainbench_var"))
 
     work = pathlib.Path(args.work)
     if (work / "ckpt").exists():
@@ -135,7 +146,8 @@ def main():
     dict_path = work / "dict.txt"
     if not (work / "binary" / "train.data").exists():
         make_corpus(raw, dict_path, args.items, args.seconds)
-    cfg = write_config(work, raw, dict_path, args.frames, wire=args.wire)
+    cfg = write_config(work, raw, dict_path, args.frames, wire=args.wire,
+                       task=args.task)
 
     env_cpu = dict(os.environ, JAX_PLATFORMS="cpu")
     if not (work / "binary" / "train.data").exists():
@@ -176,11 +188,12 @@ def main():
     try:
         sys.path.insert(0, str(ROOT))
         from diffsinger_tpu.config import load_config
+        from diffsinger_tpu.data.dataset import AcousticDataset, VarianceDataset
         from diffsinger_tpu.data.batch_sampler import DsBatchSampler
-        from diffsinger_tpu.data.dataset import AcousticDataset
 
+        ds_cls = AcousticDataset if args.task == "acoustic" else VarianceDataset
         hp = load_config(str(cfg), save_snapshot=False)
-        ds = AcousticDataset(hp["binary_data_dir"], hp, "train")
+        ds = ds_cls(hp["binary_data_dir"], hp, "train")
         sampler = DsBatchSampler(
             ds.sizes, max_batch_frames=args.frames,
             max_batch_size=hp.get("max_batch_size", 64), num_replicas=1,
@@ -196,6 +209,7 @@ def main():
     import jax
 
     result = {
+        "task": args.task,
         "device": jax.devices()[0].platform,
         "precision": "16-mixed (bf16 compute / fp32 params)",
         "config": str(cfg),
@@ -215,7 +229,8 @@ def main():
         "wire_dtype": args.wire,
         "peak_tflops_assumed": peak_tflops,
     }
-    out = ROOT / "docs" / "perf" / "train_bench.json"
+    out = ROOT / "docs" / "perf" / (
+        "train_bench.json" if args.task == "acoustic" else "train_bench_variance.json")
     out.write_text(json.dumps(result, indent=2) + "\n")
     print(json.dumps(result, indent=2))
 
