@@ -382,17 +382,17 @@ class BaseTask:
         last_val_step = step
         last_log_step = step
         def prepared_batches():
-            """Host-side batch prep (epoch forming, collate, pad, device
-            commit) as ONE generator spanning epochs, so the hot loop can
-            prepare batch k+1 BETWEEN dispatching step k and fetching its
-            loss — the collate and the host→device transfer then overlap
-            device compute even in per-step-sync mode (pipeline depth stays
-            1: no second step is dispatched before the previous loss
-            arrives, so the donated-state pileup measured on the axon
-            runtime cannot occur). Spanning epochs matters: a production
-            frame budget over a small corpus can form very few batches per
-            epoch (the train bench's fills exactly one), and a per-epoch
-            generator would have nothing to prefetch."""
+            """Host-side batch prep (epoch forming, collate, pad) as ONE
+            generator spanning epochs. It runs on a background thread (see
+            batch pipeline below), with the device commit as a second
+            chained stage, so collate(k+2), upload(k+1) and compute(k)
+            overlap — dispatch depth stays 1 (no second step is dispatched
+            before the previous loss arrives, so the donated-state pileup
+            measured on the axon runtime cannot occur). Spanning epochs
+            matters: a production frame budget over a small corpus can form
+            very few batches per epoch (the train bench's fills exactly
+            one), and a per-epoch generator would have nothing to
+            prefetch."""
             nonlocal epoch
             while True:
                 sampler = make_sampler(rank)
@@ -437,7 +437,6 @@ class BaseTask:
                                 else v)
                             for k, v in batch.items()
                         }
-                    batch = make_global_batch(self.mesh, batch)
                     key = tuple(sorted((k, v.shape) for k, v in batch.items()))
                     yield key, batch
                     yielded += 1
@@ -448,76 +447,103 @@ class BaseTask:
                         "minimum; check max_batch_frames vs item lengths")
                 epoch += 1
 
-        batch_iter = prepared_batches()
+        def commit_batch(item):
+            key, batch = item
+            return key, make_global_batch(self.mesh, batch)
+
+        # Batch pipeline: two chained single-thread stages split the host
+        # work by resource — CPU collate vs host→device transfer (device_put
+        # waits on DMA/network and releases the GIL) — so the loop's steady
+        # state approaches max(compute, upload, collate) instead of their
+        # sum. Measured basis: transfers overlap device compute even over
+        # the axon tunnel (docs/perf/overlap_probe.json). Depth bounds the
+        # staged batches (≤ 2·depth+1 alive). 0 = inline (single-threaded).
+        prefetch_depth = int(os.environ.get(
+            "DS_PREFETCH_DEPTH", hp.get("train_prefetch_depth", 2)))
+        _closers = []
+        if prefetch_depth > 0:
+            from diffsinger_tpu.utils.prefetch import PrefetchIterator
+
+            host_iter = PrefetchIterator(
+                prepared_batches(), prefetch_depth, name="ds-collate")
+            batch_iter = PrefetchIterator(
+                map(commit_batch, host_iter), prefetch_depth, name="ds-upload")
+            _closers = [host_iter, batch_iter]
+        else:
+            batch_iter = map(commit_batch, prepared_batches())
         pending_batch = next(batch_iter, None)
-        while pending_batch is not None and step < max_updates:
-            key, batch = pending_batch
-            if key not in jitted:
-                if os.environ.get("DS_LOG_FLOPS") == "1":
-                    # AOT path: the SAME executable serves cost analysis
-                    # and the training calls (no duplicate compile)
-                    with self.mesh:
-                        compiled = jax.jit(
-                            train_step, donate_argnums=0
-                        ).lower(state, batch, rng).compile()
-                    try:
-                        cost = compiled.cost_analysis()
-                        if isinstance(cost, (list, tuple)):
-                            cost = cost[0]
-                        rows = max(v.shape[0] for v in batch.values() if v.ndim >= 1)
-                        print(f"| train_step_flops batch={rows} "
-                              f"frames={max(v.shape[1] for v in batch.values() if v.ndim > 1)} "
-                              f"flops={float(cost.get('flops', 0.0)):.4e}",
-                              flush=True)
-                    except Exception:
-                        pass
-                    jitted[key] = compiled
-                else:
-                    jitted[key] = jax.jit(train_step, donate_argnums=0)
-            if profile_steps and not profiling and step >= profile_start:
-                from jax import profiler as jax_profiler
+        try:
+            while pending_batch is not None and step < max_updates:
+                key, batch = pending_batch
+                if key not in jitted:
+                    if os.environ.get("DS_LOG_FLOPS") == "1":
+                        # AOT path: the SAME executable serves cost analysis
+                        # and the training calls (no duplicate compile)
+                        with self.mesh:
+                            compiled = jax.jit(
+                                train_step, donate_argnums=0
+                            ).lower(state, batch, rng).compile()
+                        try:
+                            cost = compiled.cost_analysis()
+                            if isinstance(cost, (list, tuple)):
+                                cost = cost[0]
+                            rows = max(v.shape[0] for v in batch.values() if v.ndim >= 1)
+                            print(f"| train_step_flops batch={rows} "
+                                  f"frames={max(v.shape[1] for v in batch.values() if v.ndim > 1)} "
+                                  f"flops={float(cost.get('flops', 0.0)):.4e}",
+                                  flush=True)
+                        except Exception:
+                            pass
+                        jitted[key] = compiled
+                    else:
+                        jitted[key] = jax.jit(train_step, donate_argnums=0)
+                if profile_steps and not profiling and step >= profile_start:
+                    from jax import profiler as jax_profiler
 
-                jax_profiler.start_trace(str(pathlib.Path(hp["work_dir"]) / "profile"))
-                profiling = True
-            with self.mesh:
-                state, metrics = jitted[key](state, batch, rng)
-            # prepare the NEXT batch while the device runs this step
-            # (prepared_batches docstring); the loss fetch below then
-            # only waits for whatever compute the host prep didn't hide
-            pending_batch = next(batch_iter, None)
-            if sync_steps:
-                float(metrics["total_loss"])
-            elif pending_metrics is not None:
-                float(pending_metrics["total_loss"])
-            pending_metrics = metrics
-            micro += 1
-            step = start_step + micro // accum
-            if profiling and step >= profile_start + profile_steps:
-                from jax import profiler as jax_profiler
+                    jax_profiler.start_trace(str(pathlib.Path(hp["work_dir"]) / "profile"))
+                    profiling = True
+                with self.mesh:
+                    state, metrics = jitted[key](state, batch, rng)
+                # prepare the NEXT batch while the device runs this step
+                # (prepared_batches docstring); the loss fetch below then
+                # only waits for whatever compute the host prep didn't hide
+                pending_batch = next(batch_iter, None)
+                if sync_steps:
+                    float(metrics["total_loss"])
+                elif pending_metrics is not None:
+                    float(pending_metrics["total_loss"])
+                pending_metrics = metrics
+                micro += 1
+                step = start_step + micro // accum
+                if profiling and step >= profile_start + profile_steps:
+                    from jax import profiler as jax_profiler
 
-                jax.block_until_ready(state.params)
-                jax_profiler.stop_trace()
-                profiling = False
-                profile_steps = 0
-                print(f"| xprof trace saved to {hp['work_dir']}/profile")
+                    jax.block_until_ready(state.params)
+                    jax_profiler.stop_trace()
+                    profiling = False
+                    profile_steps = 0
+                    print(f"| xprof trace saved to {hp['work_dir']}/profile")
 
-            if step % log_interval == 0 and step != last_log_step:
-                last_log_step = step
-                metrics = {k: float(v) for k, v in metrics.items()}
-                lr = schedule(step)
-                dt = time.time() - t_last
-                t_last = time.time()
-                self.logger.add_scalar("training/lr", lr, step)
-                for k, v in metrics.items():
-                    self.logger.add_scalar(f"training/{k}", v, step)
-                print(f"| step {step} " +
-                      " ".join(f"{k}={v:.4f}" for k, v in metrics.items()) +
-                      f" lr={lr:.2e} ({log_interval / max(dt, 1e-9):.2f} it/s)")
+                if step % log_interval == 0 and step != last_log_step:
+                    last_log_step = step
+                    metrics = {k: float(v) for k, v in metrics.items()}
+                    lr = schedule(step)
+                    dt = time.time() - t_last
+                    t_last = time.time()
+                    self.logger.add_scalar("training/lr", lr, step)
+                    for k, v in metrics.items():
+                        self.logger.add_scalar(f"training/{k}", v, step)
+                    print(f"| step {step} " +
+                          " ".join(f"{k}={v:.4f}" for k, v in metrics.items()) +
+                          f" lr={lr:.2e} ({log_interval / max(dt, 1e-9):.2f} it/s)")
 
-            if step % val_interval == 0 and step != last_val_step:
-                last_val_step = step
-                self.run_validation(state, valid_ds)
-                self._save(state)
+                if step % val_interval == 0 and step != last_val_step:
+                    last_val_step = step
+                    self.run_validation(state, valid_ds)
+                    self._save(state)
+        finally:
+            for _c in _closers:  # stop prefetch threads, release staged batches
+                _c.close()
         if step != last_val_step:  # don't repeat an interval-triggered val/save
             self.run_validation(state, valid_ds)
             self._save(state)

@@ -245,3 +245,56 @@ def test_two_process_multihost_training(tmp_path):
     assert not (tmp_path / "extras_rank1.jsonl").exists(), "rank 1 rendered extras"
     # rank 0's slice holds the lowest-index (plot-eligible) items of the chunk
     assert 0 in json.loads(extras[0])["indices"]
+
+
+# ------------------------------------------------------- batch prefetch ----
+
+class TestPrefetchIterator:
+    def test_order_preserved_and_complete(self):
+        from diffsinger_tpu.utils.prefetch import PrefetchIterator
+
+        it = PrefetchIterator(iter(range(100)), depth=3)
+        assert list(it) == list(range(100))
+        it.close()  # idempotent after exhaustion
+
+    def test_chained_stages(self):
+        from diffsinger_tpu.utils.prefetch import PrefetchIterator
+
+        a = PrefetchIterator(iter(range(50)), depth=2, name="a")
+        b = PrefetchIterator(map(lambda x: x * 2, a), depth=2, name="b")
+        assert list(b) == [2 * i for i in range(50)]
+        a.close(); b.close()
+
+    def test_producer_exception_reraises_at_consumer(self):
+        from diffsinger_tpu.utils.prefetch import PrefetchIterator
+
+        def gen():
+            yield 1
+            raise ValueError("boom")
+
+        it = PrefetchIterator(gen(), depth=2)
+        assert next(it) == 1
+        with pytest.raises(ValueError, match="boom"):
+            list(it)
+        it.close()
+
+    def test_close_unblocks_infinite_producer_chain(self):
+        import time as _time
+
+        from diffsinger_tpu.utils.prefetch import PrefetchIterator
+
+        def forever():
+            i = 0
+            while True:
+                yield i
+                i += 1
+
+        a = PrefetchIterator(forever(), depth=1, name="a")
+        b = PrefetchIterator(map(lambda x: x, a), depth=1, name="b")
+        assert next(b) == 0
+        a.close()
+        b.close()
+        deadline = _time.time() + 5
+        while (a._t.is_alive() or b._t.is_alive()) and _time.time() < deadline:
+            _time.sleep(0.01)
+        assert not a._t.is_alive() and not b._t.is_alive()
