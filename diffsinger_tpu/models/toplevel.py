@@ -181,6 +181,15 @@ class DiffSingerAcoustic:
                 rngs={"dropout": rng_drop}, method="aux",
             )
 
+        if self.use_shallow_diffusion and not hp["shallow_diffusion_args"].get(
+                "train_diffusion", True):
+            # staged training STEP 2 (reference docs/BestPractices.md "Train
+            # auxiliary decoder and diffusion decoder separately"): the
+            # sampler branch is excluded from the training graph; only the
+            # aux L1 trains (usually with the encoder frozen via
+            # frozen_params).
+            return aux_out, None
+
         spec = self.spec_transform.norm(gt_mel)  # [B, T, M]
         b = spec.shape[0]
 

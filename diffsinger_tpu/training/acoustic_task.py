@@ -123,6 +123,12 @@ def make_acoustic_loss_fn(model: DiffSingerAcoustic):
     var_names = required_variances(hp)
     diffusion_type = hp.get("diffusion_type", "ddpm")
     use_shallow = hp.get("use_shallow_diffusion", False)
+    shallow_args = hp.get("shallow_diffusion_args", {}) if use_shallow else {}
+    if use_shallow and not (shallow_args.get("train_aux_decoder", True)
+                            or shallow_args.get("train_diffusion", True)):
+        raise ValueError(
+            "shallow_diffusion_args: train_aux_decoder and train_diffusion "
+            "are both false — nothing would train")
     lambda_aux = hp.get("lambda_aux_mel_loss", 0.2)
     loss_type = hp.get("main_loss_type", "l2")
     log_norm = hp.get("main_loss_log_norm", False)
@@ -149,13 +155,14 @@ def make_acoustic_loss_fn(model: DiffSingerAcoustic):
         if aux_out is not None:
             norm_gt = model.spec_transform.norm(batch["mel"])
             losses["aux_mel_loss"] = lambda_aux * aux_mel_loss(aux_out, norm_gt, nonpadding)
-        pred, target, t = diff_out
-        if diffusion_type == "ddpm":
-            losses["mel_loss"] = diffusion_loss(pred, target, nonpadding, loss_type=loss_type)
-        else:
-            losses["mel_loss"] = reflow_loss(
-                pred, target, t, nonpadding, loss_type=loss_type, log_norm=log_norm
-            )
+        if diff_out is not None:  # None when train_diffusion: false (staged)
+            pred, target, t = diff_out
+            if diffusion_type == "ddpm":
+                losses["mel_loss"] = diffusion_loss(pred, target, nonpadding, loss_type=loss_type)
+            else:
+                losses["mel_loss"] = reflow_loss(
+                    pred, target, t, nonpadding, loss_type=loss_type, log_norm=log_norm
+                )
         total = sum(losses.values())
         return total, losses
 

@@ -116,10 +116,18 @@ def make_freeze_mask(params, frozen_prefixes):
     from flax import traverse_util
 
     flat = traverse_util.flatten_dict(params, sep="/")
-    mask = {
-        k: any(k.replace("/", ".").startswith(p.replace("model.", "")) for p in frozen_prefixes)
-        for k in flat
-    }
+    mask = {}
+    for k in flat:
+        dotted = k.replace("/", ".")
+        # flax trees root at the 'params' collection; reference prefixes
+        # ('model.fs2', basics/base_task.py:92-111) name the submodule
+        # directly — strip both wrappers before matching
+        if dotted.startswith("params."):
+            dotted = dotted[len("params."):]
+        mask[k] = any(
+            dotted.startswith(p[len("model."):] if p.startswith("model.") else p)
+            for p in frozen_prefixes
+        )
     return traverse_util.unflatten_dict({tuple(k.split("/")): v for k, v in mask.items()})
 
 
@@ -286,9 +294,13 @@ class BaseTask:
             mask = make_freeze_mask(
                 self.model.init(jax.random.PRNGKey(0)), hp["frozen_params"]
             )
-            tx = optax.chain(
-                optax.masked(optax.set_to_zero(), mask), tx
-            )
+            # route frozen params to set_to_zero ENTIRELY — a pre-chained
+            # gradient zero is not enough (AdamW weight decay would still
+            # move them; the reference's requires_grad=False stops both)
+            labels = jax.tree.map(
+                lambda frozen: "frozen" if frozen else "train", mask)
+            tx = optax.multi_transform(
+                {"train": tx, "frozen": optax.set_to_zero()}, labels)
         state = self._init_or_resume(tx)
         state = jax.device_put(state, replicated_sharding(self.mesh))
         train_step = make_train_step(self.loss_fn, tx)
@@ -332,6 +344,7 @@ class BaseTask:
                 rank=r,
                 frame_count_grid=hp.get("sampler_frame_count_grid", 6),
                 required_batch_count_multiple=hp.get("accumulate_grad_batches", 1),
+                sort_by_similar_size=hp.get("sort_by_len", True),
                 shuffle_sample=True,
                 shuffle_batch=True,
                 seed=hp.get("seed") or 0,
@@ -381,6 +394,15 @@ class BaseTask:
         # per applied update) doesn't re-trigger them k times per boundary
         last_val_step = step
         last_log_step = step
+
+        # sanity validation before training (reference num_sanity_val_steps,
+        # Lightning semantics: default 1 bounded val batch, no TB logging) —
+        # surfaces dataset/config/loss errors before paying train compiles
+        sanity_steps = int(hp.get("num_sanity_val_steps", 1) or 0)
+        if sanity_steps > 0 and len(valid_ds) > 0:
+            self.run_validation(state, valid_ds, limit_batches=sanity_steps,
+                                sanity=True)
+
         def prepared_batches():
             """Host-side batch prep (epoch forming, collate, pad) as ONE
             generator spanning epochs. It runs on a background thread (see
@@ -459,7 +481,9 @@ class BaseTask:
         # the axon tunnel (docs/perf/overlap_probe.json). Depth bounds the
         # staged batches (≤ 2·depth+1 alive). 0 = inline (single-threaded).
         prefetch_depth = int(os.environ.get(
-            "DS_PREFETCH_DEPTH", hp.get("train_prefetch_depth", 2)))
+            "DS_PREFETCH_DEPTH",
+            hp.get("train_prefetch_depth",
+                   hp.get("dataloader_prefetch_factor", 2))))
         _closers = []
         if prefetch_depth > 0:
             from diffsinger_tpu.utils.prefetch import PrefetchIterator
@@ -550,12 +574,17 @@ class BaseTask:
         self.logger.flush()
         return state
 
-    def run_validation(self, state: TrainState, valid_ds):
+    def run_validation(self, state: TrainState, valid_ds, limit_batches=None,
+                       sanity: bool = False):
         """Validation losses via a jitted fp32 eval loss (per-shape cache is
         jax.jit's own; collaters bucket-pad, so compiles are bounded by the
         bucket count). Multi-host runs walk the same chunk list on every
         process, each loading its rank's slice (stitched globally); rank 0
-        additionally renders the figure/audio extras from its local slice."""
+        additionally renders the figure/audio extras from its local slice.
+
+        ``limit_batches``/``sanity`` serve the reference's sanity-validation
+        run before training (num_sanity_val_steps): a bounded pass that
+        catches config/data errors early, skipping extras and TB scalars."""
         hp = self.hp
         rng = jax.random.PRNGKey(42)
         losses_acc: Dict[str, list] = {}
@@ -566,6 +595,13 @@ class BaseTask:
         n_proc = jax.process_count()
         rank = jax.process_index()
         bs = max(1, hp.get("max_val_batch_size", 1))
+        # max_val_batch_frames (reference default 60000): bound the padded
+        # frame footprint of a validation batch. The longest-item bound is
+        # conservative but deterministic across hosts (sizes are global).
+        max_frames = int(hp.get("max_val_batch_frames", 60000) or 0)
+        sizes = getattr(valid_ds, "sizes", None)
+        if max_frames > 0 and sizes is not None and n > 0:
+            bs = max(1, min(bs, max_frames // max(int(np.max(sizes)), 1)))
         if n_proc > 1:
             # per-process slice size must fill the local devices evenly
             n_local = max(1, self.mesh.devices.size // n_proc)
@@ -575,7 +611,9 @@ class BaseTask:
             "t_txt": getattr(valid_ds, "token_bucket", 16),
             "t_note": getattr(valid_ds, "token_bucket", 16),
         }
-        for i in range(0, n, bs * n_proc):
+        for n_batches, i in enumerate(range(0, n, bs * n_proc)):
+            if limit_batches is not None and n_batches >= limit_batches:
+                break
             if n_proc > 1:
                 # fixed-size chunk: wrap indices so every process has a full
                 # slice (duplicated tail items slightly reweight the epoch
@@ -594,7 +632,7 @@ class BaseTask:
                 _, metrics = self._jit_eval_loss(state.params, jb, rng)
             for k, v in metrics.items():
                 losses_acc.setdefault(k, []).append(float(v))
-            if rank == 0:
+            if rank == 0 and not sanity:
                 # multi-host: rank 0 renders figures/audio from its local
                 # slice (the lowest-index items of each chunk, i.e. the
                 # plot-eligible ones); other ranks skip. Matches the
@@ -615,6 +653,17 @@ class BaseTask:
                     extras_state = state
                 self.validation_extras(
                     extras_state, valid_ds, {"indices": idxs, **batch}, losses_acc)
+        if sanity:
+            # sanity pass: losses must be finite; no TB scalars (the run
+            # precedes step 0 — Lightning suppresses its sanity logs too)
+            bad = {k: v for k, v in losses_acc.items()
+                   if not np.isfinite(np.mean(v))}
+            if bad:
+                raise RuntimeError(f"sanity validation produced non-finite "
+                                   f"losses: {sorted(bad)}")
+            print("| sanity validation ok: " +
+                  " ".join(f"{k}={np.mean(v):.4f}" for k, v in losses_acc.items()))
+            return
         step = optimizer_step(state)
         for k, vals in losses_acc.items():
             self.logger.add_scalar(f"validation/{k}", float(np.mean(vals)), step)

@@ -66,9 +66,22 @@ def optimizer_step(state: TrainState) -> int:
     semantics: with gradient accumulation (optax.MultiSteps), micro-batches
     don't count — only applied updates do (Lightning counts the same way,
     basics/base_task.py val_check_interval is in optimizer steps)."""
-    opt = state.opt_state
-    if isinstance(opt, optax.MultiStepsState):
-        return int(jax.device_get(opt.gradient_step))
+    def find_multi_steps(opt):
+        if isinstance(opt, optax.MultiStepsState):
+            return opt
+        # param freezing wraps the optimizer in multi_transform; the
+        # MultiSteps state then lives under inner_states['train']
+        inner = getattr(opt, "inner_states", None)
+        if isinstance(inner, dict):
+            for v in inner.values():
+                found = find_multi_steps(getattr(v, "inner_state", v))
+                if found is not None:
+                    return found
+        return None
+
+    ms = find_multi_steps(state.opt_state)
+    if ms is not None:
+        return int(jax.device_get(ms.gradient_step))
     return int(jax.device_get(state.step))
 
 

@@ -236,3 +236,88 @@ def test_dur_loss_sanity():
     assert float(loss0) < 1e-7
     loss1 = dur_loss(perfect + 0.5, dur_gt, ph2word, nonpadding)
     assert float(loss1) > float(loss0)
+
+
+def test_acoustic_staged_training_flags(acoustic_hp):
+    """Reference staged shallow-diffusion training (docs/BestPractices.md
+    'Train auxiliary decoder and diffusion decoder separately', reference
+    shallow_diffusion_args.train_diffusion): with train_diffusion false the
+    sampler branch leaves the training graph — no mel_loss, exactly-zero
+    denoiser gradients, live aux-decoder gradients."""
+    from diffsinger_tpu.models.toplevel import DiffSingerAcoustic
+    from diffsinger_tpu.training.acoustic_task import make_acoustic_loss_fn
+
+    hp = dict(acoustic_hp)
+    hp["shallow_diffusion_args"] = dict(
+        acoustic_hp["shallow_diffusion_args"], train_diffusion=False)
+    model = DiffSingerAcoustic(hp, vocab_size=30, out_dims=16)
+    params = model.init(jax.random.PRNGKey(0))
+    txt, mel2ph, f0 = _acoustic_inputs()
+    gt_mel = jnp.asarray(
+        np.random.default_rng(1).uniform(-10, -1, (B, T_MEL, 16)).astype(np.float32)
+    )
+    aux_out, diff_out = model.forward_train(
+        params, jax.random.PRNGKey(1), txt, mel2ph, f0, gt_mel
+    )
+    assert diff_out is None and aux_out is not None
+
+    batch = {"tokens": txt, "mel2ph": mel2ph, "f0": f0, "mel": gt_mel}
+    loss_fn = make_acoustic_loss_fn(model)
+    (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, batch, jax.random.PRNGKey(2))
+    assert "mel_loss" not in losses and "aux_mel_loss" in losses
+    assert np.isfinite(float(loss))
+    leaves = jax.tree_util.tree_flatten_with_path(grads)[0]
+    denoiser = [v for p, v in leaves if "denoiser" in jax.tree_util.keystr(p)]
+    aux = [v for p, v in leaves if "aux" in jax.tree_util.keystr(p)]
+    assert denoiser and aux
+    assert all(float(np.abs(np.asarray(g)).max()) == 0.0 for g in denoiser)
+    assert any(float(np.abs(np.asarray(g)).max()) > 0.0 for g in aux)
+
+    # nothing-trains configurations are rejected loudly
+    hp_bad = dict(acoustic_hp)
+    hp_bad["shallow_diffusion_args"] = dict(
+        acoustic_hp["shallow_diffusion_args"],
+        train_aux_decoder=False, train_diffusion=False)
+    model_bad = DiffSingerAcoustic(hp_bad, vocab_size=30, out_dims=16)
+    with pytest.raises(ValueError, match="nothing would train"):
+        make_acoustic_loss_fn(model_bad)
+
+
+def test_freeze_mask_matches_reference_prefixes(acoustic_hp):
+    """frozen_params uses reference-style prefixes ('model.fs2',
+    basics/base_task.py:92-111). The flax tree roots at the 'params'
+    collection — the mask must strip it, or freezing is a silent no-op."""
+    import optax
+
+    from diffsinger_tpu.models.toplevel import DiffSingerAcoustic
+    from diffsinger_tpu.training.base_task import make_freeze_mask
+
+    model = DiffSingerAcoustic(acoustic_hp, vocab_size=30, out_dims=16)
+    params = model.init(jax.random.PRNGKey(0))
+    mask = make_freeze_mask(params, ["model.fs2"])
+    leaves = jax.tree_util.tree_flatten_with_path(mask)[0]
+    fs2 = [v for p, v in leaves if "'fs2'" in jax.tree_util.keystr(p)]
+    rest = [v for p, v in leaves if "'fs2'" not in jax.tree_util.keystr(p)]
+    assert fs2 and rest
+    assert all(fs2), "every fs2 param must be frozen"
+    assert not any(rest), "nothing outside fs2 may be frozen"
+
+    # integration: the production wrapping (multi_transform) leaves frozen
+    # params bitwise unchanged even under AdamW weight decay (a pre-chained
+    # gradient zero would NOT: decay moves zero-gradient params too)
+    labels = jax.tree.map(lambda f: "frozen" if f else "train", mask)
+    tx = optax.multi_transform(
+        {"train": optax.adamw(1e-2, weight_decay=1e-2),
+         "frozen": optax.set_to_zero()}, labels)
+    opt_state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    flat_old = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat_new = jax.tree_util.tree_flatten_with_path(new_params)[0]
+    for (p, old), (_, new) in zip(flat_old, flat_new):
+        if "'fs2'" in jax.tree_util.keystr(p):
+            np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+        else:
+            assert not np.array_equal(np.asarray(old), np.asarray(new))
