@@ -102,3 +102,52 @@ def test_metrics_module():
     assert abs(r2.value() - 1.0) < 1e-6
     r2b = RawCurveR2Score().update(R2State(), curve_p, curve_t)
     assert r2b.value() < 1.0
+
+
+def test_staged_shallow_training_end_to_end(acoustic_setup, tmp_path):
+    """The reference's two-stage shallow-diffusion recipe (BestPractices
+    'Train auxiliary decoder and diffusion decoder separately') through the
+    real loop: stage 1 trains encoder+denoiser with the aux decoder out of
+    the graph; stage 2 resumes with the encoder frozen and only the aux
+    decoder training (train_diffusion: false + frozen_params + the
+    optimizer-state reset the structure change requires)."""
+    import jax
+
+    from diffsinger_tpu.training.acoustic_task import AcousticTask
+
+    work = tmp_path / "staged"
+    work.mkdir()
+    base = dict(acoustic_setup, work_dir=str(work), val_check_interval=100)
+
+    hp1 = dict(base)
+    hp1["shallow_diffusion_args"] = dict(
+        base["shallow_diffusion_args"],
+        train_aux_decoder=False, train_diffusion=True, val_gt_start=True)
+    state1 = AcousticTask(hp1).start(max_steps=4)
+
+    hp2 = dict(base, freezing_enabled=True, frozen_params=["model.fs2"],
+               allow_optimizer_state_reset=True, lambda_aux_mel_loss=1.0)
+    hp2["shallow_diffusion_args"] = dict(
+        base["shallow_diffusion_args"],
+        train_aux_decoder=True, train_diffusion=False)
+    state2 = AcousticTask(hp2).start(max_steps=8)
+    assert int(state2.step) == 8
+
+    p1 = jax.device_get(state1.params)["params"]
+    p2 = jax.device_get(state2.params)["params"]
+
+    def flat(t):
+        return {jax.tree_util.keystr(k): v
+                for k, v in jax.tree_util.tree_flatten_with_path(t)[0]}
+
+    f1, f2 = flat(p1), flat(p2)
+    assert f1.keys() == f2.keys()
+    fs2_moved = [k for k in f1 if "'fs2'" in k
+                 and not np.array_equal(f1[k], f2[k])]
+    assert not fs2_moved, f"frozen encoder moved in stage 2: {fs2_moved[:3]}"
+    den_moved = [k for k in f1 if "'denoiser'" in k
+                 and not np.array_equal(f1[k], f2[k])]
+    assert not den_moved, f"denoiser moved with train_diffusion=false: {den_moved[:3]}"
+    aux_moved = [k for k in f1 if "'aux_decoder'" in k
+                 and not np.array_equal(f1[k], f2[k])]
+    assert aux_moved, "aux decoder did not train in stage 2"
