@@ -83,17 +83,32 @@ class SummaryLogger:
         self.jsonl.flush()
 
 
+def _norm_param_prefix(p: str) -> str:
+    """Reference-style param prefixes ('model.fs2.txt_embed') → flax paths:
+    strip the 'model.' wrapper and map the reference's encoder-internal token
+    embedding name to ours (fs2.encoder.embed_tokens → fs2.txt_embed, the
+    same alias torch_model_convert.LEGACY_IGNORES handles)."""
+    if p.startswith("model."):
+        p = p[len("model."):]
+    return p.replace("fs2.encoder.embed_tokens", "fs2.txt_embed")
+
+
 def filter_finetune_params(template, loaded_state: Dict, ignored_prefixes, strict_shapes=True):
     """Shape-adaptive finetune param filtering (basics/base_task.py:113-165)."""
     from flax import serialization, traverse_util
 
     flat_t = traverse_util.flatten_dict(serialization.to_state_dict(template), sep="/")
     flat_l = traverse_util.flatten_dict(loaded_state, sep="/")
+    prefixes = [_norm_param_prefix(p) for p in ignored_prefixes]
     out = dict(flat_t)
     skipped = []
     for k, v in flat_l.items():
         path = k.replace("/", ".")
-        if any(path.startswith(p) or p in path for p in ignored_prefixes):
+        # flax trees root at the 'params' collection; prefixes name the
+        # submodule directly (same stripping as make_freeze_mask)
+        if path.startswith("params."):
+            path = path[len("params."):]
+        if any(path.startswith(p) or p in path for p in prefixes):
             skipped.append(k)
             continue
         if k in flat_t:
@@ -125,8 +140,7 @@ def make_freeze_mask(params, frozen_prefixes):
         if dotted.startswith("params."):
             dotted = dotted[len("params."):]
         mask[k] = any(
-            dotted.startswith(p[len("model."):] if p.startswith("model.") else p)
-            for p in frozen_prefixes
+            dotted.startswith(_norm_param_prefix(p)) for p in frozen_prefixes
         )
     return traverse_util.unflatten_dict({tuple(k.split("/")): v for k, v in mask.items()})
 
@@ -480,10 +494,14 @@ class BaseTask:
         # sum. Measured basis: transfers overlap device compute even over
         # the axon tunnel (docs/perf/overlap_probe.json). Depth bounds the
         # staged batches (≤ 2·depth+1 alive). 0 = inline (single-threaded).
+        # Default 1: measured best on both families (acoustic 2.59 vs 2.11
+        # steps/s at depth 2; variance depth 2 DECAYS the axon runtime
+        # 13→2.5 steps/s within ~40 steps — deeper in-flight transfer queues
+        # trigger the same deferred-release pathology as pipelined dispatch).
         prefetch_depth = int(os.environ.get(
             "DS_PREFETCH_DEPTH",
             hp.get("train_prefetch_depth",
-                   hp.get("dataloader_prefetch_factor", 2))))
+                   hp.get("dataloader_prefetch_factor", 1))))
         _closers = []
         if prefetch_depth > 0:
             from diffsinger_tpu.utils.prefetch import PrefetchIterator

@@ -321,3 +321,53 @@ def test_freeze_mask_matches_reference_prefixes(acoustic_hp):
             np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
         else:
             assert not np.array_equal(np.asarray(old), np.asarray(new))
+
+
+def test_finetune_filter_honors_reference_prefixes(acoustic_hp):
+    """finetune_ignored_params ships reference-style prefixes
+    (configs/acoustic.yaml: model.fs2.encoder.embed_tokens / model.fs2.
+    txt_embed / model.fs2.spk_embed). The filter must strip the 'model.'
+    and 'params.' wrappers and alias the reference's encoder-internal
+    embedding name, or vocabulary-dependent tables silently load from the
+    donor checkpoint."""
+    from flax import serialization
+
+    from diffsinger_tpu.models.toplevel import DiffSingerAcoustic
+    from diffsinger_tpu.training.base_task import filter_finetune_params
+
+    hp = dict(acoustic_hp, use_spk_id=True, num_spk=3)
+    model = DiffSingerAcoustic(hp, vocab_size=30, out_dims=16)
+    template = model.init(jax.random.PRNGKey(0))
+    donor = jax.tree.map(lambda x: x + 1.0, template)
+    ignored = ["model.fs2.encoder.embed_tokens", "model.fs2.txt_embed",
+               "model.fs2.spk_embed"]
+
+    merged = filter_finetune_params(
+        template, serialization.to_state_dict(donor), ignored)
+    flat_t = {jax.tree_util.keystr(k): v for k, v in
+              jax.tree_util.tree_flatten_with_path(template)[0]}
+    flat_m = {jax.tree_util.keystr(k): v for k, v in
+              jax.tree_util.tree_flatten_with_path(merged)[0]}
+    kept, taken = [], []
+    for k in flat_t:
+        (kept if np.array_equal(flat_m[k], flat_t[k]) else taken).append(k)
+    embeds = [k for k in flat_t if "'txt_embed'" in k or "'spk_embed'" in k]
+    assert embeds, "fixture has no embedding tables"
+    for k in embeds:
+        assert k in kept, f"ignored embed table was overwritten: {k}"
+    assert taken, "donor params were not loaded at all"
+    assert all(k in embeds for k in kept), f"non-ignored params kept: " \
+        f"{[k for k in kept if k not in embeds][:3]}"
+
+    # shape mismatch: strict raises, non-strict keeps the template shape
+    donor_small = serialization.to_state_dict(
+        DiffSingerAcoustic(dict(hp, num_spk=2), vocab_size=20, out_dims=16)
+        .init(jax.random.PRNGKey(1)))
+    with pytest.raises(ValueError, match="Shape mismatch"):
+        filter_finetune_params(template, donor_small, [])
+    merged2 = filter_finetune_params(template, donor_small, [],
+                                     strict_shapes=False)
+    flat_2 = {jax.tree_util.keystr(k): v for k, v in
+              jax.tree_util.tree_flatten_with_path(merged2)[0]}
+    for k in embeds:
+        assert flat_2[k].shape == flat_t[k].shape

@@ -227,6 +227,7 @@ def main():
         "mfu": mfu,  # whole-loop MFU (includes host collate + transfer time;
         # device-only MFU is decomposed in docs/perf/train_parts.json)
         "wire_dtype": args.wire,
+        "prefetch_depth": int(os.environ.get("DS_PREFETCH_DEPTH", 2)),
         "peak_tflops_assumed": peak_tflops,
     }
     out = ROOT / "docs" / "perf" / (
