@@ -32,7 +32,8 @@ from diffsinger_tpu.parallel.mesh import (
     create_mesh, make_global_batch, replicated_sharding,
 )
 from diffsinger_tpu.training.train_state import (
-    TrainState, build_optimizer, create_train_state, make_train_step, optimizer_step,
+    TrainState, build_optimizer, create_train_state, make_train_step,
+    optimizer_step, sync_gradient_step,
 )
 from diffsinger_tpu.utils import ckpt as ckpt_utils
 from diffsinger_tpu.utils.text import load_phoneme_dictionary
@@ -261,12 +262,13 @@ class BaseTask:
             import optax
 
             state = state.replace(step=jnp.asarray(blob["meta"]["global_step"], jnp.int32))
-            if isinstance(state.opt_state, optax.MultiStepsState):
-                # keep the applied-update counter consistent with the saved
-                # global step even if the optimizer state failed to restore
-                state = state.replace(opt_state=state.opt_state._replace(
-                    gradient_step=jnp.asarray(blob["meta"]["global_step"], jnp.int32)
-                ))
+            # keep the applied-update counter consistent with the saved
+            # global step even if the optimizer state failed to restore —
+            # through freezing's multi_transform nesting too (a top-level
+            # isinstance check would silently restart the step counter at 0
+            # on a frozen+accumulating resume)
+            state = state.replace(opt_state=sync_gradient_step(
+                state.opt_state, blob["meta"]["global_step"]))
             print(f"| resumed from {latest} at step {blob['meta']['global_step']}")
             return state
         if hp.get("finetune_enabled", False) and hp.get("finetune_ckpt_path"):
@@ -302,11 +304,24 @@ class BaseTask:
     def start(self, max_steps: Optional[int] = None):
         hp = self.hp
         tx, schedule = build_optimizer(hp)
-        if hp.get("freezing_enabled", False) and hp.get("frozen_params"):
+        frozen_prefixes = list(hp.get("frozen_params") or []) \
+            if hp.get("freezing_enabled", False) else []
+        # staged shallow-diffusion training: a branch excluded from the loss
+        # graph gets exactly-zero grads, but optax AdamW still applies weight
+        # decay to zero-grad params (torch skips grad-less params entirely, so
+        # the reference's staged recipe implies no decay on the idle branch).
+        # Freeze the idle branch to match.
+        if hp.get("use_shallow_diffusion", False):
+            shallow = hp.get("shallow_diffusion_args", {})
+            if not shallow.get("train_diffusion", True):
+                frozen_prefixes.append("denoiser")
+            if not shallow.get("train_aux_decoder", True):
+                frozen_prefixes.append("aux_decoder")
+        if frozen_prefixes:
             import optax
 
             mask = make_freeze_mask(
-                self.model.init(jax.random.PRNGKey(0)), hp["frozen_params"]
+                self.model.init(jax.random.PRNGKey(0)), frozen_prefixes
             )
             # route frozen params to set_to_zero ENTIRELY — a pre-chained
             # gradient zero is not enough (AdamW weight decay would still
@@ -498,10 +513,12 @@ class BaseTask:
         # steps/s at depth 2; variance depth 2 DECAYS the axon runtime
         # 13→2.5 steps/s within ~40 steps — deeper in-flight transfer queues
         # trigger the same deferred-release pathology as pipelined dispatch).
+        # (dataloader_prefetch_factor deliberately NOT honored here: old
+        # work-dir config snapshots all carry its inert default of 2, which
+        # is exactly the depth measured pathological above — aliasing it
+        # would resume every pre-existing experiment at depth 2.)
         prefetch_depth = int(os.environ.get(
-            "DS_PREFETCH_DEPTH",
-            hp.get("train_prefetch_depth",
-                   hp.get("dataloader_prefetch_factor", 1))))
+            "DS_PREFETCH_DEPTH", hp.get("train_prefetch_depth", 1)))
         _closers = []
         if prefetch_depth > 0:
             from diffsinger_tpu.utils.prefetch import PrefetchIterator
@@ -621,9 +638,12 @@ class BaseTask:
         if max_frames > 0 and sizes is not None and n > 0:
             bs = max(1, min(bs, max_frames // max(int(np.max(sizes)), 1)))
         if n_proc > 1:
-            # per-process slice size must fill the local devices evenly
+            # per-process slice size must fill the local devices evenly;
+            # round DOWN so the frame budget above is not exceeded (floor:
+            # one row per local device — below that the budget is physically
+            # unenforceable and the floor wins)
             n_local = max(1, self.mesh.devices.size // n_proc)
-            bs = ((bs + n_local - 1) // n_local) * n_local
+            bs = max(n_local, (bs // n_local) * n_local)
         bucket_steps = {
             "t_mel": getattr(valid_ds, "frame_bucket", 128),
             "t_txt": getattr(valid_ds, "token_bucket", 16),

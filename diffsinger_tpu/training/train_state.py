@@ -61,6 +61,29 @@ def create_train_state(params, tx) -> TrainState:
     return TrainState(step=jnp.zeros((), jnp.int32), params=params, opt_state=tx.init(params))
 
 
+def sync_gradient_step(opt_state, step: int):
+    """Return ``opt_state`` with every nested MultiStepsState's applied-update
+    counter set to ``step`` — through multi_transform/masked/chain wrappers
+    (param freezing nests MultiSteps inside MultiTransformState). Used on
+    resume so the counter matches the checkpoint's global step even when the
+    optimizer state itself could not be restored."""
+
+    def rec(o):
+        if isinstance(o, optax.MultiStepsState):
+            return o._replace(gradient_step=jnp.asarray(step, jnp.int32))
+        if isinstance(o, tuple) and hasattr(o, "_fields"):  # NamedTuple state
+            return type(o)(*(rec(v) for v in o))
+        if isinstance(o, tuple):
+            return tuple(rec(v) for v in o)
+        if isinstance(o, list):
+            return [rec(v) for v in o]
+        if isinstance(o, dict):  # multi_transform inner_states
+            return {k: rec(v) for k, v in o.items()}
+        return o
+
+    return rec(opt_state)
+
+
 def optimizer_step(state: TrainState) -> int:
     """The number of OPTIMIZER updates applied, reference-`global_step`
     semantics: with gradient accumulation (optax.MultiSteps), micro-batches

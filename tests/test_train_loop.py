@@ -125,8 +125,11 @@ def test_staged_shallow_training_end_to_end(acoustic_setup, tmp_path):
         train_aux_decoder=False, train_diffusion=True, val_gt_start=True)
     state1 = AcousticTask(hp1).start(max_steps=4)
 
+    # weight decay ON: pins the auto-freeze of the idle denoiser branch
+    # (zero grads alone would not stop optax AdamW's decoupled decay)
     hp2 = dict(base, freezing_enabled=True, frozen_params=["model.fs2"],
-               allow_optimizer_state_reset=True, lambda_aux_mel_loss=1.0)
+               allow_optimizer_state_reset=True, lambda_aux_mel_loss=1.0,
+               optimizer_args=dict(base["optimizer_args"], weight_decay=0.01))
     hp2["shallow_diffusion_args"] = dict(
         base["shallow_diffusion_args"],
         train_aux_decoder=True, train_diffusion=False)

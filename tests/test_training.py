@@ -291,3 +291,34 @@ def test_lr_schedule_defaults_to_steplr():
     assert sched(0) == 1.0
     assert sched(10) == 0.5
     assert sched(25) == 0.25
+
+
+def test_sync_gradient_step_through_freezing_wrappers():
+    """Resume must restore the applied-update counter through the freezing
+    wrap (multi_transform > masked > MultiSteps); a top-level isinstance
+    check silently restarts LR/val cadence at 0 on a frozen+accumulating
+    resume."""
+    import optax
+
+    from diffsinger_tpu.training.train_state import (
+        optimizer_step, sync_gradient_step,
+    )
+
+    params = {"a": jnp.ones((3,)), "b": jnp.ones((2,))}
+    inner = optax.MultiSteps(optax.adamw(1e-3), every_k_schedule=2)
+    tx = optax.multi_transform(
+        {"train": inner, "frozen": optax.set_to_zero()},
+        {"a": "train", "b": "frozen"})
+    opt_state = tx.init(params)
+
+    synced = sync_gradient_step(opt_state, 1234)
+
+    class S:  # minimal TrainState stand-in
+        step = jnp.asarray(0, jnp.int32)
+        opt_state = synced
+
+    assert optimizer_step(S) == 1234
+    # plain MultiSteps still works
+    opt2 = optax.MultiSteps(optax.adamw(1e-3), 2).init(params)
+    S.opt_state = sync_gradient_step(opt2, 7)
+    assert optimizer_step(S) == 7

@@ -227,7 +227,9 @@ def main():
         "mfu": mfu,  # whole-loop MFU (includes host collate + transfer time;
         # device-only MFU is decomposed in docs/perf/train_parts.json)
         "wire_dtype": args.wire,
-        "prefetch_depth": int(os.environ.get("DS_PREFETCH_DEPTH", 2)),
+        # mirrors the loop's resolution (base_task.py): env override, else
+        # the config default (base.yaml train_prefetch_depth: 1)
+        "prefetch_depth": int(os.environ.get("DS_PREFETCH_DEPTH", 1)),
         "peak_tflops_assumed": peak_tflops,
     }
     out = ROOT / "docs" / "perf" / (
