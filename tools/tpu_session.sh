@@ -28,8 +28,9 @@ grep -q "PROBE_OK 64" "$LOG/probe.log" || { echo "tunnel dead, aborting"; exit 1
 # 1. the driver bench (BENCH_r03 rehearsal) — highest value
 run bench 1500 python bench.py
 
-# 2. training bench at production batch, with MFU (DS_LOG_FLOPS AOT pass)
-run train_bench 2400 python tools/tpu_train_bench.py
+# 2. training bench at production batch, with MFU (DS_LOG_FLOPS AOT pass);
+#    f16 wire + the depth-1 batch pipeline are the measured-best loop config
+run train_bench 2400 python tools/tpu_train_bench.py --wire float16 --steps 80
 
 # 3. batch sweep confirmation at the new default (optional, cheap when cached)
 DS_BENCH_BATCH=8 run bench_b8 1200 python bench.py
