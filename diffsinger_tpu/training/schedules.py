@@ -36,6 +36,48 @@ def ConstantLR(lr: float, factor: float = 1.0 / 3, total_iters: int = 5, **_) ->
     return fn
 
 
+def LinearLR(lr: float, start_factor: float = 1.0 / 3, end_factor: float = 1.0,
+             total_iters: int = 5, **_) -> Schedule:
+    def fn(step):
+        if step >= total_iters:
+            return lr * end_factor
+        return lr * (start_factor + (end_factor - start_factor) * step / total_iters)
+
+    return fn
+
+
+def MultiStepLR(lr: float, milestones: Sequence[int], gamma: float = 0.1, **_) -> Schedule:
+    ms = sorted(milestones)
+
+    def fn(step):
+        passed = sum(1 for m in ms if step >= m)
+        return lr * (gamma ** passed)
+
+    return fn
+
+
+def CosineAnnealingLR(lr: float, T_max: int, eta_min: float = 0.0, **_) -> Schedule:
+    def fn(step):
+        return eta_min + (lr - eta_min) * (1 + math.cos(math.pi * step / T_max)) / 2
+
+    return fn
+
+
+def ChainedScheduler(schedulers: Sequence[Schedule], **_) -> Schedule:
+    """torch ChainedScheduler semantics for chainable (multiplicative-factor)
+    schedulers: the factors compose. Sub-schedules must be built with lr=1 so
+    they return pure factors (build_lr_schedule does this); the chain then
+    scales the product by the base lr it was built with."""
+
+    def fn(step):
+        f = 1.0
+        for s in schedulers:
+            f *= s(step)
+        return f
+
+    return fn
+
+
 def RSQRTSchedule(lr: float, warmup_updates: int, hidden_size: int, **_) -> Schedule:
     """Reference RSQRTSchedule (training_utils.py:23-46)."""
 
@@ -81,9 +123,13 @@ _SCHEDULES = {
     "StepLR": StepLR,
     "ExponentialLR": ExponentialLR,
     "ConstantLR": ConstantLR,
+    "LinearLR": LinearLR,
+    "MultiStepLR": MultiStepLR,
+    "CosineAnnealingLR": CosineAnnealingLR,
     "RSQRTSchedule": RSQRTSchedule,
     "WarmupCosineSchedule": WarmupCosineSchedule,
     "SequentialLR": SequentialLR,
+    "ChainedScheduler": ChainedScheduler,
 }
 
 
@@ -103,6 +149,13 @@ def build_lr_schedule(scheduler_args: dict, *, base_lr: float, hidden_size: int 
         if name == "SequentialLR":
             subs = [helper(s) for s in args["schedulers"]]
             return SequentialLR(subs, args["milestones"])
+        if name == "ChainedScheduler":
+            # sub-schedules built at lr=1 so they return pure factors; the
+            # chain scales their product by the base lr (torch composes the
+            # chainable schedulers' multiplicative factors the same way)
+            subs = [helper({**s, "lr": 1.0}) for s in args["schedulers"]]
+            chained = ChainedScheduler(subs)
+            return lambda step: base_lr * chained(step)
         builder = _SCHEDULES.get(name)
         if builder is None:
             raise NotImplementedError(f"Unsupported scheduler: {name}")

@@ -322,3 +322,69 @@ def test_sync_gradient_step_through_freezing_wrappers():
     opt2 = optax.MultiSteps(optax.adamw(1e-3), 2).init(params)
     S.opt_state = sync_gradient_step(opt2, 7)
     assert optimizer_step(S) == 7
+
+
+def test_lr_schedules_match_torch_exactly():
+    """Every registry scheduler the reference's configs can name, validated
+    step-for-step against the real torch.optim.lr_scheduler implementations
+    (60 epochs), including the reference doc's SequentialLR composite example
+    and a ChainedScheduler of chainable (multiplicative) schedulers."""
+    import torch
+
+    from diffsinger_tpu.training.schedules import build_lr_schedule
+
+    base = 0.8
+    cases = [
+        ({"scheduler_cls": "torch.optim.lr_scheduler.StepLR",
+          "step_size": 7, "gamma": 0.5},
+         lambda o: torch.optim.lr_scheduler.StepLR(o, step_size=7, gamma=0.5)),
+        ({"scheduler_cls": "torch.optim.lr_scheduler.ExponentialLR", "gamma": 0.97},
+         lambda o: torch.optim.lr_scheduler.ExponentialLR(o, gamma=0.97)),
+        ({"scheduler_cls": "torch.optim.lr_scheduler.ConstantLR",
+          "factor": 0.25, "total_iters": 9},
+         lambda o: torch.optim.lr_scheduler.ConstantLR(o, factor=0.25, total_iters=9)),
+        ({"scheduler_cls": "torch.optim.lr_scheduler.LinearLR",
+          "start_factor": 0.1, "end_factor": 0.9, "total_iters": 11},
+         lambda o: torch.optim.lr_scheduler.LinearLR(
+             o, start_factor=0.1, end_factor=0.9, total_iters=11)),
+        ({"scheduler_cls": "torch.optim.lr_scheduler.MultiStepLR",
+          "milestones": [10, 20, 45], "gamma": 0.3},
+         lambda o: torch.optim.lr_scheduler.MultiStepLR(
+             o, milestones=[10, 20, 45], gamma=0.3)),
+        ({"scheduler_cls": "torch.optim.lr_scheduler.CosineAnnealingLR",
+          "T_max": 50, "eta_min": 0.01},
+         lambda o: torch.optim.lr_scheduler.CosineAnnealingLR(o, T_max=50, eta_min=0.01)),
+        # the reference ConfigurationSchemas doc's composite example shape
+        ({"scheduler_cls": "torch.optim.lr_scheduler.SequentialLR",
+          "schedulers": [
+              {"cls": "torch.optim.lr_scheduler.ExponentialLR", "gamma": 0.5},
+              {"cls": "torch.optim.lr_scheduler.LinearLR"},
+              {"cls": "torch.optim.lr_scheduler.MultiStepLR", "milestones": [10, 20]},
+          ],
+          "milestones": [10, 20]},
+         lambda o: torch.optim.lr_scheduler.SequentialLR(o, [
+             torch.optim.lr_scheduler.ExponentialLR(o, gamma=0.5),
+             torch.optim.lr_scheduler.LinearLR(o),
+             torch.optim.lr_scheduler.MultiStepLR(o, milestones=[10, 20]),
+         ], milestones=[10, 20])),
+        ({"scheduler_cls": "torch.optim.lr_scheduler.ChainedScheduler",
+          "schedulers": [
+              {"cls": "torch.optim.lr_scheduler.ConstantLR",
+               "factor": 0.5, "total_iters": 4},
+              {"cls": "torch.optim.lr_scheduler.ExponentialLR", "gamma": 0.98},
+          ]},
+         lambda o: torch.optim.lr_scheduler.ChainedScheduler([
+             torch.optim.lr_scheduler.ConstantLR(o, factor=0.5, total_iters=4),
+             torch.optim.lr_scheduler.ExponentialLR(o, gamma=0.98),
+         ])),
+    ]
+    for args, make_torch in cases:
+        ours = build_lr_schedule(dict(args), base_lr=base)
+        opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=base)
+        sch = make_torch(opt)
+        for k in range(60):
+            expected = opt.param_groups[0]["lr"]
+            got = ours(k)
+            assert got == pytest.approx(expected, rel=1e-6, abs=1e-9), \
+                f"{args.get('scheduler_cls')} step {k}: {got} != {expected}"
+            sch.step()
