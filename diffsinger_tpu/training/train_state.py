@@ -33,16 +33,41 @@ def build_optimizer(hp: dict):
         hp["lr_scheduler_args"], base_lr=opt_args["lr"], hidden_size=hp.get("hidden_size", 256)
     )
     cls = opt_args.get("optimizer_cls", "torch.optim.AdamW").rsplit(".", 1)[-1]
-    common = dict(
+    wd = opt_args.get("weight_decay", 0.0)
+    adam_common = dict(
         learning_rate=schedule,
         b1=opt_args.get("beta1", 0.9),
         b2=opt_args.get("beta2", 0.98),
         eps=opt_args.get("eps", 1e-8),
     )
+    # torch-coupled weight decay (SGD/RMSprop/Adagrad add wd*p to the GRAD,
+    # before momentum/accumulators — unlike AdamW's decoupled decay)
+    coupled_wd = [optax.add_decayed_weights(wd)] if wd else []
     if cls == "AdamW":
-        tx = optax.adamw(weight_decay=opt_args.get("weight_decay", 0.0), **common)
+        tx = optax.adamw(weight_decay=wd, **adam_common)
     elif cls == "Adam":
-        tx = optax.adam(**common)
+        tx = optax.adam(**adam_common)
+    elif cls == "SGD":
+        tx = optax.chain(*coupled_wd, optax.sgd(
+            learning_rate=schedule,
+            momentum=opt_args.get("momentum", 0.0) or None,
+            nesterov=opt_args.get("nesterov", False),
+        ))
+    elif cls == "RMSprop":
+        tx = optax.chain(*coupled_wd, optax.rmsprop(
+            learning_rate=schedule,
+            decay=opt_args.get("alpha", 0.99),
+            eps=opt_args.get("eps", 1e-8),
+            eps_in_sqrt=False,  # torch adds eps OUTSIDE the sqrt
+            momentum=opt_args.get("momentum", 0.0) or None,
+            centered=opt_args.get("centered", False),
+        ))
+    elif cls == "Adagrad":
+        tx = optax.chain(*coupled_wd, optax.adagrad(
+            learning_rate=schedule,
+            initial_accumulator_value=opt_args.get("initial_accumulator_value", 0.0),
+            eps=opt_args.get("eps", 1e-10),
+        ))
     else:
         raise NotImplementedError(f"Unsupported optimizer: {cls}")
     chain = []

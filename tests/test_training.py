@@ -388,3 +388,57 @@ def test_lr_schedules_match_torch_exactly():
             assert got == pytest.approx(expected, rel=1e-6, abs=1e-9), \
                 f"{args.get('scheduler_cls')} step {k}: {got} != {expected}"
             sch.step()
+
+
+def test_optimizers_match_torch_trajectories():
+    """build_optimizer's torch class names, validated on 20-step parameter
+    trajectories against the real torch.optim implementations with shared
+    explicit gradients (coupled vs decoupled weight decay, momentum/nesterov,
+    RMSprop's outside-sqrt eps, Adagrad's zero accumulator init)."""
+    import optax
+    import torch
+
+    from diffsinger_tpu.training.train_state import build_optimizer
+
+    rng = np.random.default_rng(0)
+    p0 = rng.normal(0, 1, (5,)).astype(np.float32)
+    grads = [rng.normal(0, 1, (5,)).astype(np.float32) for _ in range(20)]
+
+    cases = [
+        ({"optimizer_cls": "torch.optim.AdamW", "lr": 0.01,
+          "beta1": 0.9, "beta2": 0.98, "weight_decay": 0.05},
+         lambda p: torch.optim.AdamW([p], lr=0.01, betas=(0.9, 0.98),
+                                     eps=1e-8, weight_decay=0.05)),
+        ({"optimizer_cls": "torch.optim.Adam", "lr": 0.02,
+          "beta1": 0.8, "beta2": 0.9},
+         lambda p: torch.optim.Adam([p], lr=0.02, betas=(0.8, 0.9), eps=1e-8)),
+        ({"optimizer_cls": "torch.optim.SGD", "lr": 0.05,
+          "momentum": 0.9, "weight_decay": 0.01},
+         lambda p: torch.optim.SGD([p], lr=0.05, momentum=0.9, weight_decay=0.01)),
+        ({"optimizer_cls": "torch.optim.SGD", "lr": 0.05,
+          "momentum": 0.9, "nesterov": True},
+         lambda p: torch.optim.SGD([p], lr=0.05, momentum=0.9, nesterov=True)),
+        ({"optimizer_cls": "torch.optim.RMSprop", "lr": 0.01,
+          "alpha": 0.95, "eps": 1e-8, "weight_decay": 0.02},
+         lambda p: torch.optim.RMSprop([p], lr=0.01, alpha=0.95, eps=1e-8,
+                                       weight_decay=0.02)),
+        ({"optimizer_cls": "torch.optim.Adagrad", "lr": 0.03},
+         lambda p: torch.optim.Adagrad([p], lr=0.03, eps=1e-10)),
+    ]
+    for opt_args, make_torch in cases:
+        hp = {"optimizer_args": dict(opt_args),
+              "lr_scheduler_args": {"scheduler_cls": "StepLR",
+                                    "step_size": 10 ** 9, "gamma": 1.0}}
+        tx, _ = build_optimizer(hp)
+        params = jnp.asarray(p0)
+        opt_state = tx.init(params)
+        tp = torch.nn.Parameter(torch.tensor(p0))
+        topt = make_torch(tp)
+        for g in grads:
+            updates, opt_state = tx.update(jnp.asarray(g), opt_state, params)
+            params = optax.apply_updates(params, updates)
+            tp.grad = torch.tensor(g)
+            topt.step()
+        np.testing.assert_allclose(
+            np.asarray(params), tp.detach().numpy(), rtol=2e-5, atol=2e-6,
+            err_msg=opt_args["optimizer_cls"])
