@@ -323,3 +323,49 @@ def check_model(data: bytes, known_ops: Optional[Sequence[str]] = None) -> Dict[
     stats["opset"] = default_opsets[0]
     stats["ir_version"] = ir
     return stats
+
+
+def _main(argv):
+    """CLI: ``python -m diffsinger_tpu.deployment.onnx.checker model.onnx...``
+
+    Validates each file and prints its stats; exits non-zero on the first
+    invalid model. ``--ops docs/onnx_ops.md`` additionally restricts node
+    op_types to the ops documented there (the emitted-op audit contract).
+    """
+    import argparse
+    import pathlib
+    import re
+    import sys
+
+    ap = argparse.ArgumentParser(
+        description="Independent ONNX structural checker (no onnx install "
+                    "needed; shares no code with the emitter)")
+    ap.add_argument("models", nargs="+", type=pathlib.Path)
+    ap.add_argument("--ops", type=pathlib.Path, default=None,
+                    help="markdown op-audit doc; node op_types must appear "
+                         "as `Op` rows in it (e.g. docs/onnx_ops.md)")
+    args = ap.parse_args(argv)
+    known = None
+    if args.ops:
+        known = re.findall(r"^\| *`([A-Za-z0-9]+)`", args.ops.read_text(), re.M)
+        if not known:
+            print(f"error: no `Op` table rows found in {args.ops}", file=sys.stderr)
+            return 2
+    rc = 0
+    for path in args.models:
+        try:
+            stats = check_model(path.read_bytes(), known_ops=known)
+        except OnnxCheckError as e:
+            print(f"{path}: INVALID — {e}")
+            rc = 1
+        else:
+            print(f"{path}: ok — {stats['nodes']} nodes, "
+                  f"{stats['initializers']} initializers, "
+                  f"opset {stats['opset']}, ir v{stats['ir_version']}")
+    return rc
+
+
+if __name__ == "__main__":  # pragma: no cover — thin shell over check_model
+    import sys
+
+    sys.exit(_main(sys.argv[1:]))

@@ -287,3 +287,25 @@ def test_docs_onnx_ops_table_matches_emitter():
     assert documented == set(EMITTED_OPS), (
         f"undocumented: {sorted(set(EMITTED_OPS) - documented)}; "
         f"stale doc rows: {sorted(documented - set(EMITTED_OPS))}")
+
+
+def test_checker_cli(tmp_path, capsys):
+    """`python -m ...onnx.checker model.onnx --ops docs/onnx_ops.md`:
+    external-auditor entry point — validates files, enforces the emitted-op
+    audit doc, non-zero exit on an invalid model."""
+    import pathlib
+
+    from diffsinger_tpu.deployment.onnx.checker import _main
+
+    good = tmp_path / "good.onnx"
+    good.write_bytes(bytes.fromhex(GOLDEN_ADD_HEX))
+    ops_doc = pathlib.Path(__file__).resolve().parents[1] / "docs" / "onnx_ops.md"
+
+    assert _main([str(good), "--ops", str(ops_doc)]) == 0
+    out = capsys.readouterr().out
+    assert "ok — 1 nodes" in out and "opset 17" in out
+
+    bad = tmp_path / "bad.onnx"
+    bad.write_bytes(b"\x08\x01")  # ir_version only: no opset, no graph
+    assert _main([str(good), str(bad)]) == 1
+    assert "INVALID" in capsys.readouterr().out
