@@ -297,6 +297,27 @@ def check_model(data: bytes, known_ops: Optional[Sequence[str]] = None) -> Dict[
     ModelProto: ir_version=1, producer_name=2, graph=7, opset_import=8.
     OperatorSetIdProto: domain=1, version=2.
     """
+    try:
+        return _check_model(data, known_ops)
+    except OnnxCheckError:
+        raise
+    except Exception as e:  # corrupt wire data can fail the decoder anywhere
+        # (wrong wire type -> TypeError, bad utf8 -> UnicodeDecodeError, ...);
+        # uphold the documented raises-OnnxCheckError contract
+        raise OnnxCheckError(
+            f"model: malformed protobuf ({type(e).__name__}: {e})") from e
+
+
+def op_table_ops(markdown: str) -> List[str]:
+    """Op names from docs/onnx_ops.md-style audit tables (rows whose first
+    cell is a backticked op). The ONE parser of that contract — used by the
+    CLI whitelist and the emitter-sync test, so they cannot drift."""
+    import re
+
+    return re.findall(r"^\| *`([A-Za-z0-9]+)` *\|", markdown, flags=re.M)
+
+
+def _check_model(data: bytes, known_ops: Optional[Sequence[str]]) -> Dict[str, int]:
     f = _group(data)
     if 1 not in f:
         raise OnnxCheckError("model: missing ir_version")
@@ -334,7 +355,6 @@ def _main(argv):
     """
     import argparse
     import pathlib
-    import re
     import sys
 
     ap = argparse.ArgumentParser(
@@ -347,7 +367,11 @@ def _main(argv):
     args = ap.parse_args(argv)
     known = None
     if args.ops:
-        known = re.findall(r"^\| *`([A-Za-z0-9]+)`", args.ops.read_text(), re.M)
+        try:
+            known = op_table_ops(args.ops.read_text())
+        except OSError as e:
+            print(f"error: cannot read {args.ops}: {e}", file=sys.stderr)
+            return 2
         if not known:
             print(f"error: no `Op` table rows found in {args.ops}", file=sys.stderr)
             return 2
@@ -357,6 +381,9 @@ def _main(argv):
             stats = check_model(path.read_bytes(), known_ops=known)
         except OnnxCheckError as e:
             print(f"{path}: INVALID — {e}")
+            rc = 1
+        except OSError as e:
+            print(f"{path}: unreadable — {e}")
             rc = 1
         else:
             print(f"{path}: ok — {stats['nodes']} nodes, "

@@ -141,27 +141,31 @@ def build_lr_schedule(scheduler_args: dict, *, base_lr: float, hidden_size: int 
     """Build a schedule from the reference's ``lr_scheduler_args`` config
     (utils/__init__.py:278-314), including nested SequentialLR."""
 
-    def helper(args: dict) -> Schedule:
+    def helper(args: dict, lr: float) -> Schedule:
         # configs/base.yaml default; a user override of just step_size/gamma
         # (without re-stating the class) keeps StepLR
         cls_str = args.get("scheduler_cls") or args.get("cls") or "StepLR"
         name = _resolve_name(cls_str)
         if name == "SequentialLR":
-            subs = [helper(s) for s in args["schedulers"]]
+            # each stage sees the composite's own lr (torch binds them all
+            # to the same optimizer base lr)
+            subs = [helper(s, lr) for s in args["schedulers"]]
             return SequentialLR(subs, args["milestones"])
         if name == "ChainedScheduler":
-            # sub-schedules built at lr=1 so they return pure factors; the
-            # chain scales their product by the base lr (torch composes the
-            # chainable schedulers' multiplicative factors the same way)
-            subs = [helper({**s, "lr": 1.0}) for s in args["schedulers"]]
+            # sub-schedules built at lr=1 so they return pure factors —
+            # including nested composites (building them at the outer lr
+            # would scale by it twice); the chain then applies its own lr.
+            subs = [helper(s, 1.0) for s in args["schedulers"]]
             chained = ChainedScheduler(subs)
-            return lambda step: base_lr * chained(step)
+            if lr == 1.0:
+                return chained
+            return lambda step: lr * chained(step)
         builder = _SCHEDULES.get(name)
         if builder is None:
             raise NotImplementedError(f"Unsupported scheduler: {name}")
         kwargs = {k: v for k, v in args.items() if k not in ("scheduler_cls", "cls")}
-        kwargs.setdefault("lr", base_lr)
+        kwargs.setdefault("lr", lr)
         kwargs.setdefault("hidden_size", hidden_size)
         return builder(**kwargs)
 
-    return helper(dict(scheduler_args))
+    return helper(dict(scheduler_args), base_lr)

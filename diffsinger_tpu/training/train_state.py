@@ -21,6 +21,24 @@ class TrainState:
     opt_state: Any
 
 
+def _scale_by_rss_torch(initial_accumulator_value: float, eps: float):
+    """torch.optim.Adagrad's accumulator scaling: g / (sqrt(sum g²) + eps),
+    eps OUTSIDE the sqrt (optax.scale_by_rss puts it inside)."""
+
+    def init(params):
+        return jax.tree.map(
+            lambda p: jnp.full_like(p, initial_accumulator_value), params)
+
+    def update(updates, state, params=None):
+        del params
+        sum_sq = jax.tree.map(lambda s, g: s + g * g, state, updates)
+        scaled = jax.tree.map(
+            lambda g, s: g / (jnp.sqrt(s) + eps), updates, sum_sq)
+        return scaled, sum_sq
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(hp: dict):
     """AdamW (+ grad clip + accumulation) with the configured LR schedule.
 
@@ -34,6 +52,24 @@ def build_optimizer(hp: dict):
     )
     cls = opt_args.get("optimizer_cls", "torch.optim.AdamW").rsplit(".", 1)[-1]
     wd = opt_args.get("weight_decay", 0.0)
+    # loudly reject torch args whose omission would silently change the
+    # update trajectory (the reference tolerates unknown keys because torch
+    # consumes them; here an unmapped semantic arg means a DIFFERENT
+    # optimizer). Harmless unknown keys still pass through, reference-style.
+    _unmappable = {
+        "SGD": [("dampening", 0.0)],
+        "Adam": [("amsgrad", False)],
+        "AdamW": [("amsgrad", False)],
+        "Adagrad": [("lr_decay", 0.0)],
+    }
+    for key, neutral in _unmappable.get(cls, []):
+        if opt_args.get(key, neutral) != neutral:
+            raise NotImplementedError(
+                f"{cls}: optimizer arg {key}={opt_args[key]!r} has no optax "
+                f"mapping here — remove it or use its neutral value {neutral!r}")
+    if cls == "SGD" and opt_args.get("nesterov", False) \
+            and not opt_args.get("momentum", 0.0):
+        raise ValueError("SGD: nesterov requires a momentum (torch raises too)")
     adam_common = dict(
         learning_rate=schedule,
         b1=opt_args.get("beta1", 0.9),
@@ -63,11 +99,16 @@ def build_optimizer(hp: dict):
             centered=opt_args.get("centered", False),
         ))
     elif cls == "Adagrad":
-        tx = optax.chain(*coupled_wd, optax.adagrad(
-            learning_rate=schedule,
-            initial_accumulator_value=opt_args.get("initial_accumulator_value", 0.0),
-            eps=opt_args.get("eps", 1e-10),
-        ))
+        # hand-rolled: optax.adagrad puts eps INSIDE the sqrt
+        # (rsqrt(sum_sq + eps)) while torch computes g / (sqrt(sum_sq) + eps)
+        # — a ~10x update difference while the accumulator is ≲ eps
+        tx = optax.chain(
+            *coupled_wd,
+            _scale_by_rss_torch(
+                opt_args.get("initial_accumulator_value", 0.0),
+                opt_args.get("eps", 1e-10)),
+            optax.scale_by_learning_rate(schedule),
+        )
     else:
         raise NotImplementedError(f"Unsupported optimizer: {cls}")
     chain = []

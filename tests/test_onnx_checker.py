@@ -280,8 +280,10 @@ def test_docs_onnx_ops_table_matches_emitter():
 
     from diffsinger_tpu.deployment.onnx.lowering import EMITTED_OPS
 
+    from diffsinger_tpu.deployment.onnx.checker import op_table_ops
+
     doc = (pathlib.Path(__file__).resolve().parents[1] / "docs" / "onnx_ops.md").read_text()
-    rows = re.findall(r"^\| `([A-Za-z0-9]+)` \|", doc, flags=re.M)
+    rows = op_table_ops(doc)  # the CLI whitelist uses the same parser
     assert len(rows) == len(set(rows)), "duplicate rows in docs/onnx_ops.md"
     documented = set(rows)
     assert documented == set(EMITTED_OPS), (
@@ -309,3 +311,25 @@ def test_checker_cli(tmp_path, capsys):
     bad.write_bytes(b"\x08\x01")  # ir_version only: no opset, no graph
     assert _main([str(good), str(bad)]) == 1
     assert "INVALID" in capsys.readouterr().out
+
+
+def test_checker_wraps_decoder_crashes_as_check_errors(tmp_path, capsys):
+    """Corrupt wire data must surface as OnnxCheckError / CLI INVALID, not
+    TypeError/UnicodeDecodeError tracebacks (the documented contract)."""
+    from diffsinger_tpu.deployment.onnx.checker import _main
+
+    # graph field (7) encoded as a varint instead of length-delimited:
+    # _check_graph would call _group(int) -> TypeError before the wrap
+    wrong_wire = b"\x08\x08" + b"\x42\x04\x08\x00\x10\x11" + b"\x38\x01"
+    with pytest.raises(OnnxCheckError):
+        check_model(wrong_wire)
+    # node op_type with invalid utf-8
+    with pytest.raises(OnnxCheckError):
+        check_model(b"\x3a\x02\xff\xfe")
+
+    bad = tmp_path / "bad.onnx"
+    bad.write_bytes(wrong_wire)
+    missing = tmp_path / "nope.onnx"
+    assert _main([str(bad), str(missing)]) == 1
+    out = capsys.readouterr().out
+    assert "INVALID" in out and "unreadable" in out

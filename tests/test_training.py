@@ -442,3 +442,77 @@ def test_optimizers_match_torch_trajectories():
         np.testing.assert_allclose(
             np.asarray(params), tp.detach().numpy(), rtol=2e-5, atol=2e-6,
             err_msg=opt_args["optimizer_cls"])
+
+
+def test_chained_scheduler_nesting_no_double_scaling():
+    """Composites nested inside ChainedScheduler must contribute pure
+    factors: building them at the outer lr scaled by base_lr twice
+    (base=0.5 gave lr(0)=0.25 for a pass-through chain)."""
+    from diffsinger_tpu.training.schedules import build_lr_schedule
+
+    base = 0.5
+    passthrough = {"scheduler_cls": "ChainedScheduler",
+                   "schedulers": [{"cls": "ExponentialLR", "gamma": 1.0}]}
+    inner_seq = {"scheduler_cls": "ChainedScheduler",
+                 "schedulers": [
+                     {"cls": "SequentialLR",
+                      "schedulers": [{"cls": "ExponentialLR", "gamma": 1.0},
+                                     {"cls": "ExponentialLR", "gamma": 1.0}],
+                      "milestones": [5]},
+                 ]}
+    nested_chain = {"scheduler_cls": "ChainedScheduler",
+                    "schedulers": [dict(passthrough)]}
+    for args in (passthrough, inner_seq, nested_chain):
+        sched = build_lr_schedule(dict(args), base_lr=base)
+        assert sched(0) == pytest.approx(base), args
+        assert sched(9) == pytest.approx(base), args
+
+
+def test_adagrad_eps_outside_sqrt_like_torch():
+    """torch Adagrad: g / (sqrt(sum g^2) + eps). optax puts eps inside the
+    sqrt — a ~10x smaller update while the accumulator is below eps. Pin
+    the tiny-gradient regime against torch."""
+    import optax
+    import torch
+
+    from diffsinger_tpu.training.train_state import build_optimizer
+
+    hp = {"optimizer_args": {"optimizer_cls": "torch.optim.Adagrad", "lr": 0.1},
+          "lr_scheduler_args": {"scheduler_cls": "StepLR",
+                                "step_size": 10 ** 9, "gamma": 1.0}}
+    tx, _ = build_optimizer(hp)
+    p0 = np.full((3,), 0.5, np.float32)
+    grads = [np.full((3,), 1e-6, np.float32)] * 3 + \
+            [np.full((3,), 1e-3, np.float32)] * 3
+    params = jnp.asarray(p0)
+    opt_state = tx.init(params)
+    tp = torch.nn.Parameter(torch.tensor(p0))
+    topt = torch.optim.Adagrad([tp], lr=0.1, eps=1e-10)
+    for g in grads:
+        updates, opt_state = tx.update(jnp.asarray(g), opt_state, params)
+        params = optax.apply_updates(params, updates)
+        tp.grad = torch.tensor(g)
+        topt.step()
+    np.testing.assert_allclose(np.asarray(params), tp.detach().numpy(),
+                               rtol=1e-5, atol=0)
+
+
+def test_optimizer_rejects_unmappable_semantic_args():
+    from diffsinger_tpu.training.train_state import build_optimizer
+
+    sched = {"scheduler_cls": "StepLR", "step_size": 10, "gamma": 0.5}
+    for opt_args, match in [
+        ({"optimizer_cls": "torch.optim.SGD", "lr": 0.1, "momentum": 0.9,
+          "dampening": 0.5}, "dampening"),
+        ({"optimizer_cls": "torch.optim.AdamW", "lr": 0.1, "amsgrad": True},
+         "amsgrad"),
+        ({"optimizer_cls": "torch.optim.Adagrad", "lr": 0.1, "lr_decay": 0.1},
+         "lr_decay"),
+    ]:
+        with pytest.raises(NotImplementedError, match=match):
+            build_optimizer({"optimizer_args": opt_args,
+                             "lr_scheduler_args": dict(sched)})
+    with pytest.raises(ValueError, match="nesterov"):
+        build_optimizer({"optimizer_args": {
+            "optimizer_cls": "torch.optim.SGD", "lr": 0.1, "nesterov": True},
+            "lr_scheduler_args": dict(sched)})
