@@ -219,3 +219,75 @@ def test_schema_doc_every_section_complete():
                 or attrs["type"] in ("", "—") or not attrs["default"]):
             bad.append((k, attrs))
     assert not bad, f"incomplete sections: {bad}"
+
+def test_schema_doc_defaults_match_shipped_configs():
+    """The `default` column of every documented key that appears in the
+    shipped configs equals the value those configs actually carry — catches
+    doc drift when a config default changes. Family-varying defaults use
+    `acoustic/variance` notation; a handful of symbolic defaults are
+    whitelisted."""
+    import pathlib
+    import re
+
+    import yaml
+
+    symbolic = {
+        "binarizer_cls", "task_cls",          # documented as 'per task'
+        "K_step_infer",                       # documented as '= K_step'
+        "main_loss_log_norm",                 # documented as 'A: false, V: true'
+        "glide_embed_scale",                  # documented as '√128'
+    }
+    no_default = "—"  # required keys: configs ship example paths, doc says none
+
+    def flat(d, pre=""):
+        out = {}
+        for k, v in d.items():
+            if isinstance(v, dict):
+                out.update(flat(v, pre + k + "."))
+            else:
+                out[pre + k] = v
+        return out
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    base = yaml.safe_load((root / "configs" / "base.yaml").read_text())
+    base.pop("base_config", None)
+    merged = {}
+    for fam in ("acoustic", "variance"):
+        y = yaml.safe_load((root / "configs" / f"{fam}.yaml").read_text())
+        y.pop("base_config", None)
+        m = flat(base)
+        m.update(flat(y))
+        merged[fam] = m
+
+    bad = []
+    for key, (attrs, _desc) in _parse_schema_doc_sections().items():
+        if attrs is None or key in symbolic or attrs["default"] == no_default:
+            continue
+        vals = [merged[f][key] for f in ("acoustic", "variance") if key in merged[f]]
+        if not vals or any(isinstance(v, (list, dict)) for v in vals):
+            continue  # structured defaults are documented as prose
+        doc_default = attrs["default"].replace("−", "-").strip()
+        parts = [p.strip().strip("`") for p in doc_default.split("/")]
+        if len(parts) != len(set(map(str, vals))) and len(parts) > 1:
+            parts = [doc_default.strip("`")]  # a default containing '/' literally
+
+        def matches(part, v):
+            if isinstance(v, bool):
+                return part.lower() == str(v).lower()
+            if isinstance(v, (int, float)):
+                try:
+                    return abs(float(part) - float(v)) < 1e-9
+                except ValueError:
+                    return False
+            if isinstance(v, str):
+                return part == v
+            return True  # lists/dicts documented as prose: not checked here
+
+        uniq = list(dict.fromkeys(map(repr, vals)))
+        ok = (
+            all(any(matches(p, v) for v in vals) for p in parts)
+            and len(parts) >= len(uniq)
+        ) or (len(parts) == 1 and len(uniq) == 1 and matches(parts[0], vals[0]))
+        if not ok:
+            bad.append((key, attrs["default"], vals))
+    assert not bad, f"doc default != shipped config value: {bad}"
