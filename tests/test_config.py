@@ -159,7 +159,9 @@ def test_schema_doc_per_key_sections():
             return sections[k]
         leaf = k.split(".")[-1]  # ours may nest differently (optimizer_args.beta1 etc.)
         for nm, sec in sections.items():
-            if nm == leaf or nm.endswith("." + leaf) and (k.endswith(nm) or nm.endswith(k)):
+            # Dotted-suffix match only, with a containment guard: a section
+            # literally named `leaf` must NOT satisfy an unrelated dotted key.
+            if nm.endswith("." + leaf) and (k.endswith(nm) or nm.endswith(k)):
                 return sec
         return sections.get(leaf)
 
@@ -248,16 +250,17 @@ def test_schema_doc_defaults_match_shipped_configs():
                 out[pre + k] = v
         return out
 
+    # Resolve through the real loader so the full base_config chain (however
+    # deep) is followed — a hand-rolled base+family merge would silently go
+    # stale if an intermediate config were ever inserted in the chain.
+    from diffsinger_tpu.config.hparams import _load_chain
+
     root = pathlib.Path(__file__).resolve().parents[1]
-    base = yaml.safe_load((root / "configs" / "base.yaml").read_text())
-    base.pop("base_config", None)
     merged = {}
     for fam in ("acoustic", "variance"):
-        y = yaml.safe_load((root / "configs" / f"{fam}.yaml").read_text())
-        y.pop("base_config", None)
-        m = flat(base)
-        m.update(flat(y))
-        merged[fam] = m
+        cfg = _load_chain(root / "configs" / f"{fam}.yaml", set())
+        cfg.pop("base_config", None)
+        merged[fam] = flat(cfg)
 
     bad = []
     for key, (attrs, _desc) in _parse_schema_doc_sections().items():
@@ -284,10 +287,16 @@ def test_schema_doc_defaults_match_shipped_configs():
             return True  # lists/dicts documented as prose: not checked here
 
         uniq = list(dict.fromkeys(map(repr, vals)))
-        ok = (
-            all(any(matches(p, v) for v in vals) for p in parts)
-            and len(parts) >= len(uniq)
-        ) or (len(parts) == 1 and len(uniq) == 1 and matches(parts[0], vals[0]))
+        if len(parts) == 2 and len(vals) == 2:
+            # Family-varying `a/b` notation is positional: acoustic first,
+            # variance second (vals is built in that order above). An
+            # orientation-insensitive check would pass a doc that swapped them.
+            ok = matches(parts[0], vals[0]) and matches(parts[1], vals[1])
+        else:
+            ok = (
+                all(any(matches(p, v) for v in vals) for p in parts)
+                and len(parts) >= len(uniq)
+            ) or (len(parts) == 1 and len(uniq) == 1 and matches(parts[0], vals[0]))
         if not ok:
             bad.append((key, attrs["default"], vals))
     assert not bad, f"doc default != shipped config value: {bad}"
