@@ -126,8 +126,13 @@ class DiffSingerAcoustic:
         self.t_start = hp.get("T_start", 0.0) if self.use_shallow_diffusion else 0.0
         self.time_scale_factor = hp.get("time_scale_factor", 1000)
         if self.diffusion_type == "ddpm":
+            # The reference never forwards hparams['max_beta'] into the β
+            # schedule — linear_beta_schedule always runs at its default 0.01
+            # (ddpm.py:28,67; GaussianDiffusion is constructed without betas,
+            # toplevel.py:60-69) — so checkpoint/sample parity requires
+            # ignoring the config key the same way.
             self.schedule = DiffusionSchedule.create(
-                hp.get("schedule_type", "linear"), self.timesteps, hp.get("max_beta")
+                hp.get("schedule_type", "linear"), self.timesteps
             )
         elif self.diffusion_type == "reflow":
             self.schedule = None
@@ -511,8 +516,10 @@ class DiffSingerVariance:
         self.k_step = hp.get("K_step", self.timesteps)
         self.time_scale_factor = hp.get("time_scale_factor", 1000)
         if self.diffusion_type == "ddpm":
+            # max_beta deliberately not forwarded — reference parity (see the
+            # acoustic model's schedule construction above)
             self.schedule = DiffusionSchedule.create(
-                hp.get("schedule_type", "linear"), self.timesteps, hp.get("max_beta")
+                hp.get("schedule_type", "linear"), self.timesteps
             )
         else:
             self.schedule = None

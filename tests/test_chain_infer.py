@@ -9,6 +9,8 @@ import wave
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 
 from tests.test_e2e_infer import DICT, SAMPLE, TINY_COMMON, _make_exp

@@ -9,6 +9,10 @@ import sys
 import numpy as np
 import yaml
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 REPO = pathlib.Path(__file__).resolve().parent.parent
 
 

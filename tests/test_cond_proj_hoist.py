@@ -18,6 +18,7 @@ from diffsinger_tpu.models.backbones import (
     (LYNXNet, dict(num_layers=2, num_channels=24, expansion_factor=2, kernel_size=7)),
     (WaveNet, dict(num_layers=3, num_channels=16, dilation_cycle_length=2)),
 ])
+@pytest.mark.slow
 def test_cond_proj_matches_inloop(backbone_cls, kwargs):
     b, t, m, h = 2, 32, 8, 12
     model = backbone_cls(in_dims=m, n_feats=1, cond_dims=h, **kwargs)

@@ -54,6 +54,7 @@ def test_ddpm_acoustic_inference_paths(ddpm_hp, accelerator, speedup):
     assert np.abs(mel).max() < 100
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("accelerator", ["ddim", "pndm", "dpm-solver", "unipc"])
 def test_ddpm_accelerators_under_bf16_denoiser(ddpm_hp, accelerator):
     """infer_precision bf16: the denoiser returns bfloat16 while the sampler

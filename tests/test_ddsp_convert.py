@@ -103,6 +103,7 @@ def bundle(tmp_path_factory):
     return jit_path, mel_t.numpy(), f0_t.numpy(), noise_t.numpy(), ref_out
 
 
+@pytest.mark.slow
 def test_convert_and_native_parity(bundle):
     jit_path, mel, f0, noise, ref_out = bundle
     from flax import serialization

@@ -1,6 +1,7 @@
 """Native DDSP vocoder tests: synthesis physics and trainability."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +42,7 @@ def test_filtered_noise_band_shaping():
     assert low > 10 * high
 
 
+@pytest.mark.slow
 def test_ddsp_generator_trains():
     model = DDSPGenerator(hop_size=HOP, sampling_rate=SR, n_harmonics=16, n_noise_bands=33)
     mel = jnp.asarray(np.random.default_rng(0).uniform(-8, 0, (1, 16, 32)).astype(np.float32))

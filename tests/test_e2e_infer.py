@@ -9,6 +9,8 @@ import wave
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import yaml
 
 import jax

@@ -7,6 +7,8 @@ import numpy as np
 import yaml
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

@@ -82,6 +82,7 @@ def test_folded_strided_source_conv_exact(c_out, r_out, stride):
     np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=2e-4)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mini_nsf", [True, False])
 def test_generator_folded_matches_canonical(mini_nsf):
     rng = np.random.default_rng(2)

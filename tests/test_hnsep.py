@@ -39,6 +39,7 @@ def test_upsample_align_corners_matches_torch():
     np.testing.assert_allclose(ours, golden, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_cascaded_net_matches_reference():
     ref = _import_ref_nets()
     torch.manual_seed(0)
@@ -65,6 +66,7 @@ def test_cascaded_net_matches_reference():
     np.testing.assert_allclose(ours.imag, golden.imag, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_predict_harmonic_matches_reference_pipeline(tmp_path):
     """Full vr pipeline (stft -> mask -> istft, one jitted program) vs the
     reference's predict_from_audio (nets.py:175-197) from a saved torch

@@ -109,6 +109,7 @@ def test_rope_rotation_invariants():
     np.testing.assert_allclose(d1, d2, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_acoustic_model_train_and_infer(acoustic_hp):
     from diffsinger_tpu.models.toplevel import DiffSingerAcoustic
 
@@ -138,6 +139,7 @@ def test_acoustic_model_train_and_infer(acoustic_hp):
     assert np.abs(aux[0, 32:]).max() == 0.0
 
 
+@pytest.mark.slow
 def test_acoustic_gradients_flow(acoustic_hp):
     from diffsinger_tpu.models.losses import aux_mel_loss, reflow_loss
     from diffsinger_tpu.models.toplevel import DiffSingerAcoustic
@@ -238,6 +240,7 @@ def test_dur_loss_sanity():
     assert float(loss1) > float(loss0)
 
 
+@pytest.mark.slow
 def test_acoustic_staged_training_flags(acoustic_hp):
     """Reference staged shallow-diffusion training (docs/BestPractices.md
     'Train auxiliary decoder and diffusion decoder separately', reference

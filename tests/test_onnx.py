@@ -123,6 +123,7 @@ def test_convs():
 
 # ---------------------------------------------------------------- real models
 
+@pytest.mark.slow
 def test_vocoder_onnx_parity():
     import types
     from diffsinger_tpu.vocoders.nsf_hifigan_model import Generator
@@ -323,6 +324,7 @@ def test_acoustic_exporter_onnx_shallow_depth_sweep(tmp_path):
     assert not np.allclose(outs[0], outs[2])  # depth genuinely routes
 
 
+@pytest.mark.slow
 def test_variance_exporter_onnx_steps_sweep(tmp_path):
     """Variance exporter fmt='onnx': pitch/variance graphs keep `steps` as a
     runtime input (reference variance_exporter.py:424-429, 571-576) with

@@ -30,6 +30,7 @@ def test_resolve_precision_mapping():
     assert resolve_precision(32) is None
 
 
+@pytest.mark.slow
 def test_bf16_acoustic_train_step_matches_fp32():
     """pl_trainer_precision '16-mixed' -> bf16 compute / fp32 params: loss
     tracks the fp32 loss loosely and params/grads stay fp32."""
@@ -196,6 +197,7 @@ def test_sampler_multi_replica_disjoint_and_exhaustive():
 
 # ------------------------------------------------------------ multi-host ----
 
+@pytest.mark.slow
 def test_two_process_multihost_training(tmp_path):
     """Launches 2 REAL processes on the CPU distributed backend (2 local
     devices each -> 4-device global mesh) through the full BaseTask.start()

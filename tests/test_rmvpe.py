@@ -32,6 +32,7 @@ def _import_ref_e2e0():
     return sys.modules["ref_rmvpe.model"]
 
 
+@pytest.mark.slow
 def test_e2e0_matches_reference():
     ref = _import_ref_e2e0()
     torch.manual_seed(0)

@@ -7,6 +7,8 @@ import json
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 
 from tests.test_e2e_infer import SAMPLE, TINY_COMMON, _make_exp

@@ -10,6 +10,8 @@ import shutil
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import yaml
 
 import jax

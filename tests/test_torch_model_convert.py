@@ -8,6 +8,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 
@@ -314,7 +316,11 @@ def test_e2e_mel_mae_vs_reference(ref_modules):
 
     def fixed_randn(*shape, **kw):
         if tuple(shape) == (B, 1, 16, T_MEL):
-            return torch.from_numpy(noise)
+            # .copy(): the reference's euler step mutates x IN-PLACE (x += v*dt);
+            # with a pure-noise start x aliases this tensor, and from_numpy
+            # shares the numpy buffer — our sampler would then read back
+            # MUTATED noise instead of the injected draw
+            return torch.from_numpy(noise.copy())
         return real_randn(*shape, **kw)
 
     torch.randn = fixed_randn

@@ -5,6 +5,8 @@ import pathlib
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from diffsinger_tpu.config import load_config
 from tests.test_binarize import _make_corpus
 

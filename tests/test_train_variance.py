@@ -6,6 +6,8 @@ import json
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from diffsinger_tpu.config import load_config
 from tests.test_binarize import _make_corpus
 

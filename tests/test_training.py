@@ -61,12 +61,14 @@ def test_sequential_lr():
     assert sched(15) == pytest.approx(0.5)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8_devices():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_recompute_grads_matches_plain_gradients():
     """recompute_grads=true (jax.checkpoint on every denoiser layer) must
     leave params, loss, and gradients bit-identical — only the backward
@@ -193,6 +195,7 @@ def test_acoustic_train_step_loss_decreases():
     assert int(state.step) == 8
 
 
+@pytest.mark.slow
 def test_variance_train_step_runs():
     from diffsinger_tpu.config import load_config
     from diffsinger_tpu.models.toplevel import DiffSingerVariance
