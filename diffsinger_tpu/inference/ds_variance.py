@@ -276,16 +276,21 @@ class DiffSingerVarianceInfer(BaseSVSInfer):
         emb = jnp.take(table, ids, axis=0)
         return jnp.sum(emb * values[..., None], axis=2)
 
-    def forward_model(self, batch: Dict[str, np.ndarray],
-                      flags: Tuple[bool, bool, bool], rng: jax.Array,
-                      steps: Optional[int] = None):
-        """Returns (dur_pred frames | None, pitch_pred midi | None, variance dict)."""
-        predict_dur, predict_pitch, predict_variances = flags
-        t_s = batch["base_pitch"].shape[1]
-        t_s_pad = bucket_length(t_s)
-        t_ph_pad = bucket_length(batch["tokens"].shape[1], step=16, minimum=16)
-        t_w_pad = bucket_length(batch["word_dur"].shape[1], step=16, minimum=16)
-        t_n_pad = bucket_length(batch["note_midi"].shape[1], step=16, minimum=16)
+    def bucket_shapes(self, batch: Dict[str, np.ndarray]) -> Tuple[int, int, int, int]:
+        """(t_ph, t_w, t_n, t_s) bucket-padded lengths for one segment."""
+        return (
+            bucket_length(batch["tokens"].shape[1], step=16, minimum=16),
+            bucket_length(batch["word_dur"].shape[1], step=16, minimum=16),
+            bucket_length(batch["note_midi"].shape[1], step=16, minimum=16),
+            bucket_length(batch["base_pitch"].shape[1]),
+        )
+
+    def padded_arrays(self, batch: Dict[str, np.ndarray],
+                      buckets: Tuple[int, int, int, int]):
+        """Pad one segment's arrays to the given bucket lengths. Returns
+        (tokens, midi, ph2word, base_pitch, array_kwargs, spk_mix) — single
+        [1, T] rows, stackable along axis 0 within a bucket group."""
+        t_ph_pad, t_w_pad, t_n_pad, t_s_pad = buckets
 
         def pad(key, length, value=0):
             if key in batch and batch[key] is not None:
@@ -304,7 +309,6 @@ class DiffSingerVarianceInfer(BaseSVSInfer):
             note_glide=pad("note_glide", t_n_pad),
             mel2note=pad("mel2note", t_s_pad),
             languages=pad("languages", t_ph_pad),
-            steps=steps,
         )
         spk_mix = None
         if "ph_spk_mix_id" in batch:
@@ -326,20 +330,48 @@ class DiffSingerVarianceInfer(BaseSVSInfer):
         ph2word = pad_to(batch["ph2word"], t_ph_pad, axis=1)
         base_pitch = pad_to(batch["base_pitch"], t_s_pad, axis=1)
 
-        array_kwargs = {
-            k: v for k, v in kwargs.items() if k != "steps" and v is not None
-        }
-        # one jitted program per (bucket shapes, predictor flags, arg set, steps);
-        # None-valued kwargs are dropped (forward_infer defaults them to None),
-        # so the traced pytree structure stays static per cache key.  The
-        # rhythm regulator, delta-pitch add, and speaker-embedding mix run
-        # INSIDE the program: a segment costs exactly one device dispatch.
+        array_kwargs = {k: v for k, v in kwargs.items() if v is not None}
+        return tokens, midi, ph2word, base_pitch, array_kwargs, spk_mix
+
+    def forward_model(self, batch: Dict[str, np.ndarray],
+                      flags: Tuple[bool, bool, bool], rng: jax.Array,
+                      steps: Optional[int] = None):
+        """Returns (dur_pred frames | None, pitch_pred midi | None, variance dict)."""
+        predict_dur, predict_pitch, predict_variances = flags
+        t_s = batch["base_pitch"].shape[1]
+        tokens, midi, ph2word, base_pitch, array_kwargs, spk_mix = (
+            self.padded_arrays(batch, self.bucket_shapes(batch)))
+        dur_pred, pitch_pred, variance_pred = self._run_padded(
+            tokens, midi, ph2word, base_pitch, array_kwargs, spk_mix,
+            flags, rng, steps,
+        )
+        t_ph = batch["tokens"].shape[1]
+        out_dur = None
+        if dur_pred is not None and predict_dur:
+            out_dur = np.asarray(dur_pred)[0, :t_ph]
+        out_pitch = None
+        if pitch_pred is not None:
+            out_pitch = np.asarray(pitch_pred)[0, :t_s]
+        out_vars = {k: np.asarray(v)[0, :t_s] for k, v in (variance_pred or {}).items()}
+        return out_dur, out_pitch, out_vars
+
+    def _run_padded(self, tokens, midi, ph2word, base_pitch, array_kwargs,
+                    spk_mix, flags, rng, steps):
+        """Dispatch one jitted forward on already-padded arrays (any batch
+        size — the per-segment driver uses B=1, VarianceServer stacks rows).
+
+        One jitted program per (bucket shapes, predictor flags, arg set,
+        steps); None-valued kwargs are dropped (forward_infer defaults them to
+        None), so the traced pytree structure stays static per cache key.  The
+        rhythm regulator, delta-pitch add, and speaker-embedding mix run
+        INSIDE the program: a dispatch costs exactly one device round trip."""
+        predict_dur, predict_pitch, predict_variances = flags
         if not hasattr(self, "_jit_cache"):
             self._jit_cache = {}
         key = (
             tuple(sorted((k, np.shape(v)) for k, v in array_kwargs.items())),
             spk_mix is not None,
-            tokens.shape, base_pitch.shape, flags, steps,
+            np.shape(tokens), np.shape(base_pitch), flags, steps,
         )
         if key not in self._jit_cache:
 
@@ -364,19 +396,10 @@ class DiffSingerVarianceInfer(BaseSVSInfer):
                 return dur_pred, pitch_pred, variance_pred
 
             self._jit_cache[key] = jax.jit(fn)
-        dur_pred, pitch_pred, variance_pred = self._jit_cache[key](
+        return self._jit_cache[key](
             self.params, rng, tokens, midi, ph2word, base_pitch,
             array_kwargs, spk_mix,
         )
-        t_ph = batch["tokens"].shape[1]
-        out_dur = None
-        if dur_pred is not None and predict_dur:
-            out_dur = np.asarray(dur_pred)[0, :t_ph]
-        out_pitch = None
-        if pitch_pred is not None:
-            out_pitch = np.asarray(pitch_pred)[0, :t_s]
-        out_vars = {k: np.asarray(v)[0, :t_s] for k, v in (variance_pred or {}).items()}
-        return out_dur, out_pitch, out_vars
 
     # ------------------------------------------------------------------
     def segment_flags(self, param: dict) -> Tuple[bool, bool, bool]:
@@ -399,6 +422,46 @@ class DiffSingerVarianceInfer(BaseSVSInfer):
             )
         )
         return predict_dur, predict_pitch, predict_variances
+
+    def _apply_predictions(self, param: dict, dur_pred, pitch_pred,
+                           variance_pred) -> dict:
+        """Write one segment's predictions back into a copy of its .ds params
+        (the writeback contract, reference ds_variance.py:427-457)."""
+        param_copy = copy.deepcopy(param)
+        if dur_pred is not None and (self.auto_completion_mode or self.global_predict_dur):
+            param_copy["ph_dur"] = " ".join(
+                str(round(float(d) * self.timestep, 6)) for d in dur_pred
+            )
+        if pitch_pred is not None and (
+            self.auto_completion_mode or self.global_predict_pitch
+        ):
+            f0_pred = midi_to_hz(pitch_pred)
+            param_copy["f0_seq"] = " ".join(str(round(float(f), 1)) for f in f0_pred)
+            param_copy["f0_timestep"] = str(self.timestep)
+        variance_pred = {
+            k: v for k, v in (variance_pred or {}).items()
+            if (self.auto_completion_mode and param.get(k) is None)
+            or k in self.variance_prediction_set
+        }
+        for v_name, v_pred in variance_pred.items():
+            param_copy[v_name] = " ".join(str(round(float(v), 4)) for v in v_pred)
+            param_copy[f"{v_name}_timestep"] = str(self.timestep)
+
+        # restore original spk mixes (ds_variance.py:444-457)
+        if "ph_spk_mix" in param_copy and "spk_mix" in param_copy:
+            if "ph_spk_mix_backup" in param_copy:
+                backup = param_copy.pop("ph_spk_mix_backup")
+                if backup is None:
+                    param_copy.pop("ph_spk_mix", None)
+                else:
+                    param_copy["ph_spk_mix"] = backup
+            if "spk_mix_backup" in param_copy:
+                backup = param_copy.pop("spk_mix_backup")
+                if backup is None:
+                    param_copy.pop("spk_mix", None)
+                else:
+                    param_copy["spk_mix"] = backup
+        return param_copy
 
     def run_inference(self, params: List[dict], out_dir: pathlib.Path = None,
                       title: str = None, num_runs: int = 1, seed: int = -1,
@@ -423,44 +486,11 @@ class DiffSingerVarianceInfer(BaseSVSInfer):
                     rng = jax.random.PRNGKey(seed & 0xFFFF_FFFF)
                 else:
                     rng = jax.random.PRNGKey(hash((title, run, i)) & 0xFFFF_FFFF)
-                param_copy = copy.deepcopy(param)
                 dur_pred, pitch_pred, variance_pred = self.forward_model(
                     batch, flags, rng, steps=steps
                 )
-                if dur_pred is not None and (self.auto_completion_mode or self.global_predict_dur):
-                    param_copy["ph_dur"] = " ".join(
-                        str(round(float(d) * self.timestep, 6)) for d in dur_pred
-                    )
-                if pitch_pred is not None and (
-                    self.auto_completion_mode or self.global_predict_pitch
-                ):
-                    f0_pred = midi_to_hz(pitch_pred)
-                    param_copy["f0_seq"] = " ".join(str(round(float(f), 1)) for f in f0_pred)
-                    param_copy["f0_timestep"] = str(self.timestep)
-                variance_pred = {
-                    k: v for k, v in variance_pred.items()
-                    if (self.auto_completion_mode and param.get(k) is None)
-                    or k in self.variance_prediction_set
-                }
-                for v_name, v_pred in variance_pred.items():
-                    param_copy[v_name] = " ".join(str(round(float(v), 4)) for v in v_pred)
-                    param_copy[f"{v_name}_timestep"] = str(self.timestep)
-
-                # restore original spk mixes (ds_variance.py:444-457)
-                if "ph_spk_mix" in param_copy and "spk_mix" in param_copy:
-                    if "ph_spk_mix_backup" in param_copy:
-                        backup = param_copy.pop("ph_spk_mix_backup")
-                        if backup is None:
-                            param_copy.pop("ph_spk_mix", None)
-                        else:
-                            param_copy["ph_spk_mix"] = backup
-                    if "spk_mix_backup" in param_copy:
-                        backup = param_copy.pop("spk_mix_backup")
-                        if backup is None:
-                            param_copy.pop("spk_mix", None)
-                        else:
-                            param_copy["spk_mix"] = backup
-                results.append(param_copy)
+                results.append(self._apply_predictions(
+                    param, dur_pred, pitch_pred, variance_pred))
 
             filename = f"{title}-{str(run).zfill(3)}.ds" if num_runs > 1 else f"{title}.ds"
             save_path = out_dir / filename

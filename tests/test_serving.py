@@ -163,3 +163,121 @@ def test_serving_and_crossfade_on_long_multisegment_sample(tmp_path):
         nb, rateb = f.getnframes(), f.getframerate()
     assert rateb == sr
     assert abs(nb - n) <= 2 * hop
+
+
+def _tiny_variance_exp(tmp_path):
+    from tests.test_e2e_infer import TINY_COMMON, _make_exp
+
+    hp = _make_exp(
+        tmp_path, str(REPO / "configs" / "variance.yaml"),
+        dict(
+            TINY_COMMON,
+            predict_energy=True,
+            dur_prediction_args=dict(
+                arch="fs2", hidden_size=32, dropout=0.1, num_layers=2, kernel_size=3,
+                log_offset=1.0, loss_type="mse",
+                lambda_pdur_loss=0.3, lambda_wdur_loss=1.0, lambda_sdur_loss=3.0,
+            ),
+            pitch_prediction_args=dict(
+                pitd_norm_min=-8.0, pitd_norm_max=8.0, pitd_clip_min=-12.0,
+                pitd_clip_max=12.0, repeat_bins=8, backbone_type="wavenet",
+                backbone_args=dict(num_layers=2, num_channels=16,
+                                   dilation_cycle_length=2),
+            ),
+            variances_prediction_args=dict(
+                total_repeat_bins=8, backbone_type="wavenet",
+                backbone_args=dict(num_layers=2, num_channels=16,
+                                   dilation_cycle_length=2),
+            ),
+        ),
+        "tiny_var_serving",
+    )
+    hp["infer"] = True
+
+    from diffsinger_tpu.models.toplevel import DiffSingerVariance
+    from diffsinger_tpu.utils.ckpt import checkpoint_path, save_checkpoint
+    from diffsinger_tpu.utils.text import load_phoneme_dictionary
+
+    vocab = len(load_phoneme_dictionary(hp))
+    vmodel = DiffSingerVariance(hp, vocab_size=vocab)
+    save_checkpoint(checkpoint_path(hp["work_dir"], 10),
+                    vmodel.init(jax.random.PRNGKey(0)), category="variance",
+                    global_step=10)
+    return hp
+
+
+def test_variance_server_single_segment_matches_sequential(tmp_path):
+    """A one-segment 'batch' goes through the identical padded shapes and rng
+    as the sequential driver, so outputs must match EXACTLY."""
+    hp = _tiny_variance_exp(tmp_path)
+    with open(SAMPLE, encoding="utf-8") as f:
+        seg = dict(json.load(f)[0])
+    seg.pop("f0_seq", None)
+    seg.pop("f0_timestep", None)
+    seg.pop("ph_dur", None)  # exercise batched duration prediction too
+
+    from diffsinger_tpu.inference.ds_variance import DiffSingerVarianceInfer
+    from diffsinger_tpu.inference.serving import VarianceServer
+
+    seq = DiffSingerVarianceInfer(hp, predictions=set())
+    srv = VarianceServer(hp, max_batch_size=4, predictions=set())
+    srv.params = seq.params  # same random weights
+
+    out_seq = tmp_path / "seq"
+    out_srv = tmp_path / "srv"
+    seq.run_inference([dict(seg)], out_dir=out_seq, title="x", seed=5, steps=2)
+    srv.run_inference([dict(seg)], out_dir=out_srv, title="x", seed=5, steps=2)
+    with open(out_seq / "x.ds", encoding="utf8") as f:
+        a = json.load(f)[0]
+    with open(out_srv / "x.ds", encoding="utf8") as f:
+        b = json.load(f)[0]
+    assert a["ph_dur"] == b["ph_dur"]
+    assert a["f0_seq"] == b["f0_seq"]
+    assert a.get("energy") == b.get("energy")
+
+
+def test_variance_server_batches_segments(tmp_path):
+    """Multiple segments grouped into one batch: the deterministic duration
+    head must match the sequential driver exactly; sampled curves must be
+    finite and in plausible ranges."""
+    hp = _tiny_variance_exp(tmp_path)
+    with open(SAMPLE, encoding="utf-8") as f:
+        segs = json.load(f)[:2]
+    segments = []
+    for i in range(3):
+        s = dict(segs[i % len(segs)])
+        s.pop("f0_seq", None)
+        s.pop("f0_timestep", None)
+        if i != 1:  # mixed flag-sets: segment 1 keeps manual ph_dur
+            s.pop("ph_dur", None)
+        s["offset"] = float(s.get("offset", 0.0)) + 10.0 * i
+        segments.append(s)
+
+    from diffsinger_tpu.inference.ds_variance import DiffSingerVarianceInfer
+    from diffsinger_tpu.inference.serving import VarianceServer
+
+    seq = DiffSingerVarianceInfer(hp, predictions=set())
+    srv = VarianceServer(hp, max_batch_size=4, predictions=set())
+    srv.params = seq.params
+
+    preds = srv.predict_batch([dict(s) for s in segments], seed=5, steps=2)
+    assert len(preds) == 3
+    for i, (dur, pitch, vars_) in enumerate(preds):
+        # sequential reference for the deterministic duration head
+        flags = seq.segment_flags(segments[i])
+        batch = seq.preprocess_input(
+            dict(segments[i]), idx=i,
+            load_dur=not flags[0] and (flags[1] or flags[2]),
+            load_pitch=not flags[1] and flags[2])
+        dur_ref, _, _ = seq.forward_model(batch, flags, jax.random.PRNGKey(5), steps=2)
+        if dur_ref is None:  # segment shipped with manual ph_dur
+            assert dur is None
+        else:
+            np.testing.assert_allclose(dur, dur_ref, atol=1e-4, rtol=1e-4)
+        t_s = batch["base_pitch"].shape[1]
+        assert pitch.shape == (t_s,)
+        assert np.isfinite(pitch).all()
+        assert (pitch > 0).all() and (pitch < 128).all()  # midi range
+        assert set(vars_) == {"energy"}
+        assert np.isfinite(vars_["energy"]).all()
+        assert vars_["energy"].shape == (t_s,)

@@ -116,6 +116,19 @@ def main():
                                  rngs={"dropout": rng}, method="aux")
         return jnp.abs(out.astype(jnp.float32)).mean()
 
+    # deterministic variants: the SAME math minus dropout mask generation —
+    # the delta is the pure PRNG + mask-apply cost of each block
+    def encode_nodrop(params, batch):
+        cond = model.module.apply(
+            params, batch["tokens"], batch["mel2ph"], batch["f0"],
+            deterministic=True, method="encode")
+        return jnp.abs(cond.astype(jnp.float32)).mean()
+
+    def aux_nodrop(params, cond):
+        out = model.module.apply(params, cond, infer=False, deterministic=True,
+                                 method="aux")
+        return jnp.abs(out.astype(jnp.float32)).mean()
+
     def fwd(params, batch, rng):
         loss, _ = loss_fn(params, batch, rng)
         return loss
@@ -134,8 +147,12 @@ def main():
         "encoder_fwd": (lambda: jax.jit(lambda p, b, r: encode(p, b, r)[0])
                         .lower(params, batch, key).compile(),
                         lambda c, i: c(params, batch, jax.random.fold_in(key, i))),
+        "encoder_nodrop": (lambda: jax.jit(encode_nodrop).lower(params, batch).compile(),
+                           lambda c, i: c(params, batch)),
         "aux_fwd": (lambda: jax.jit(aux_fwd).lower(params, cond, key).compile(),
                     lambda c, i: c(params, cond, jax.random.fold_in(key, i))),
+        "aux_nodrop": (lambda: jax.jit(aux_nodrop).lower(params, cond).compile(),
+                       lambda c, i: c(params, cond)),
         "denoise_fwd": (lambda: jax.jit(denoise_fwd).lower(params, x, t_vec, cond).compile(),
                         lambda c, i: c(params, x, t_vec, cond)),
         "denoise_grad": (lambda: jax.jit(denoise_grad).lower(params, x, t_vec, cond).compile(),
@@ -166,17 +183,21 @@ def main():
         programs = {k: v for k, v in programs.items() if k in keep}
 
     peak = float(os.environ.get("DS_BENCH_PEAK_TFLOPS", "197")) * 1e12
+    hbm_bw = float(os.environ.get("DS_BENCH_HBM_GBPS", "819")) * 1e9  # v5e
     result = {"device": jax.devices()[0].platform, "batch": B, "frames": T_MEL,
-              "rng_impl": args.rng, "parts": {}}
+              "rng_impl": args.rng, "peak_tflops": peak / 1e12,
+              "hbm_gbps": hbm_bw / 1e9, "parts": {}}
     for name, (build, call) in programs.items():
         t0 = time.time()
         compiled = build()
         compile_s = time.time() - t0
         flops = None
+        bytes_accessed = None
         try:
             cost = compiled.cost_analysis()
             cost = cost[0] if isinstance(cost, (list, tuple)) else cost
             flops = float(cost.get("flops", 0.0)) or None
+            bytes_accessed = float(cost.get("bytes accessed", 0.0)) or None
         except Exception:
             pass
         for i in range(2):  # warmup
@@ -188,15 +209,28 @@ def main():
             float(np.asarray(jax.device_get(call(compiled, i))).ravel()[0])
             times.append(time.perf_counter() - t0)
         med = sorted(times)[len(times) // 2]
+        # roofline floor: the program cannot run faster than its FLOPs at MXU
+        # peak NOR its HBM traffic at peak bandwidth — whichever binds
+        flop_floor_ms = (flops / peak * 1e3) if flops else None
+        bw_floor_ms = (bytes_accessed / hbm_bw * 1e3) if bytes_accessed else None
+        floor_ms = max(flop_floor_ms or 0.0, bw_floor_ms or 0.0) or None
         result["parts"][name] = {
             "ms": round(med * 1e3, 1),
             "flops": flops,
+            "bytes_accessed": bytes_accessed,
             "mfu": round(flops / med / peak, 4) if flops else None,
+            "floor_ms": round(floor_ms, 1) if floor_ms else None,
+            "floor_bound": (None if not floor_ms else
+                            ("hbm" if (bw_floor_ms or 0) > (flop_floor_ms or 0) else "mxu")),
+            "achieved_vs_floor": round(floor_ms / (med * 1e3), 2) if floor_ms else None,
             "compile_s": round(compile_s, 1),
         }
-        print(f"| {name:13s} {med*1e3:8.1f} ms  "
+        print(f"| {name:15s} {med*1e3:8.1f} ms  "
               f"{(flops or 0)/1e12:7.2f} TFLOP  "
-              f"MFU {(flops / med / peak if flops else 0)*100:5.1f}%", flush=True)
+              f"MFU {(flops / med / peak if flops else 0)*100:5.1f}%  "
+              f"floor {floor_ms or 0:7.1f} ms "
+              f"({result['parts'][name]['floor_bound'] or '-'}) "
+              f"= {((floor_ms or 0) / (med*1e3))*100:4.0f}% of SoL", flush=True)
 
     if not args.only:
         out = ROOT / "docs" / "perf" / "train_step_parts.json"

@@ -136,9 +136,19 @@ def main():
     ap.add_argument("--batch", type=int, default=0,
                     help="acoustic stage via AcousticServer with this max "
                          "batch size (bucket-grouped segment batching)")
+    ap.add_argument("--var_batch", type=int, default=0,
+                    help="variance stage via VarianceServer with this max "
+                         "batch size (bucket-grouped segment batching)")
+    ap.add_argument("--precision", default=None, choices=["f32", "bf16"],
+                    help="infer_precision for both stages (default: bf16 at "
+                         "flagship scale — the production serving posture — "
+                         "f32 under --tiny)")
+    ap.add_argument("--runs", type=int, default=1,
+                    help="timed repetitions (reports median; best also recorded)")
     ap.add_argument("--record", action="store_true",
                     help="write docs/perf/chain_bench.json")
     args = ap.parse_args()
+    precision = args.precision or ("f32" if args.tiny else "bf16")
 
     setup_jax()
     import warnings
@@ -163,16 +173,24 @@ def main():
     if args.tiny:
         ac_over["audio_num_mel_bins"] = 16
     ac_over["vocoder_ckpt"] = str(tmp / "missing_vocoder.ckpt")
+    ac_over["infer_precision"] = precision
     hp_ac = make_exp(tmp, str(ROOT / "configs" / "acoustic.yaml"),
                      "chain_ac", ac_over, "acoustic")
+    var_over = dict(TINY_VARIANCE) if args.tiny else {}
+    var_over["infer_precision"] = precision
     hp_var = make_exp(tmp, str(ROOT / "configs" / "variance.yaml"),
-                      "chain_var", dict(TINY_VARIANCE) if args.tiny else {},
-                      "variance")
+                      "chain_var", var_over, "variance")
 
     from diffsinger_tpu.inference.ds_acoustic import DiffSingerAcousticInfer
     from diffsinger_tpu.inference.ds_variance import DiffSingerVarianceInfer
 
-    var_infer = DiffSingerVarianceInfer(hp_var, predictions=set())  # auto-complete
+    if args.var_batch:
+        from diffsinger_tpu.inference.serving import VarianceServer
+
+        var_infer = VarianceServer(hp_var, max_batch_size=args.var_batch,
+                                   predictions=set())  # auto-complete
+    else:
+        var_infer = DiffSingerVarianceInfer(hp_var, predictions=set())  # auto-complete
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")  # random vocoder weights
         if args.batch:
@@ -187,8 +205,14 @@ def main():
           f"{audio_s:.1f} s audio, device={jax.devices()[0].platform}")
     w_var, w_ac = run_chain(var_infer, ac_infer, segments, out, args.steps)
     print(f"| warmup (compiles): variance {w_var:.1f}s acoustic {w_ac:.1f}s")
-    t_var, t_ac = run_chain(var_infer, ac_infer, segments, out, args.steps)
-    wall = t_var + t_ac
+    walls = []
+    for _ in range(max(1, args.runs)):
+        t_var, t_ac = run_chain(var_infer, ac_infer, segments, out, args.steps)
+        walls.append((t_var + t_ac, t_var, t_ac))
+        print(f"| timed run: variance {t_var:.2f}s acoustic {t_ac:.2f}s "
+              f"-> {audio_s / (t_var + t_ac):.1f}x")
+    walls.sort()
+    wall, t_var, t_ac = walls[len(walls) // 2]  # median by total wall
     frames = audio_s * hp_ac["audio_sample_rate"] / hp_ac["hop_size"]
     result = {
         "metric": "chain_e2e_rtf",
@@ -201,6 +225,10 @@ def main():
         "mel_frames_per_s": round(frames / wall, 1),
         "steps": args.steps or "config defaults",
         "acoustic_batch": args.batch or "sequential",
+        "rtf_best": round(audio_s / walls[0][0], 2),
+        "timed_runs": len(walls),
+        "variance_batch": args.var_batch or "sequential",
+        "infer_precision": precision,
         "tiny": bool(args.tiny),
         "device": jax.devices()[0].platform,
     }
