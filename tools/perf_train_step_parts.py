@@ -47,6 +47,9 @@ def main():
                          "(rbg = XLA RngBitGenerator, the TPU-native fast path)")
     ap.add_argument("--only", type=str, default=None,
                     help="comma-separated subset of programs to run")
+    ap.add_argument("--set", action="append", default=[], dest="overrides",
+                    help="hparams override k=v (yaml-parsed; repeatable) for "
+                         "A/B runs, e.g. --set recompute_grads=true")
     args = ap.parse_args()
 
     from diffsinger_tpu.utils.jax_setup import setup_jax
@@ -67,6 +70,16 @@ def main():
     hp.update(use_energy_embed=False, use_breathiness_embed=False,
               use_key_shift_embed=False, use_speed_embed=False,
               pl_trainer_precision="16-mixed")
+    if args.overrides:
+        import yaml
+
+        for kv in args.overrides:
+            k, v = kv.split("=", 1)
+            tgt, parts = hp, k.split(".")
+            for p in parts[:-1]:
+                tgt = tgt[p]
+            tgt[parts[-1]] = yaml.safe_load(v)
+        print(f"| hparams overrides: {args.overrides}")
     n_mels = hp["audio_num_mel_bins"]
 
     model = DiffSingerAcoustic(hp, vocab_size=62, out_dims=n_mels, dtype=jnp.bfloat16)
@@ -232,7 +245,7 @@ def main():
               f"({result['parts'][name]['floor_bound'] or '-'}) "
               f"= {((floor_ms or 0) / (med*1e3))*100:4.0f}% of SoL", flush=True)
 
-    if not args.only:
+    if not args.only and not args.overrides:
         out = ROOT / "docs" / "perf" / "train_step_parts.json"
         out.write_text(json.dumps(result, indent=2) + "\n")
     print(json.dumps(result))
