@@ -285,12 +285,22 @@ class VarianceServer(DiffSingerVarianceInfer):
         self.max_batch_size = max_batch_size
         self.mesh = mesh
         if mesh is not None:
-            from diffsinger_tpu.parallel.mesh import replicated_sharding
+            from diffsinger_tpu.parallel.mesh import batch_sharding, replicated_sharding
 
+            self._batch_sharding = batch_sharding(mesh)
             self.params = jax.device_put(self.params, replicated_sharding(mesh))
             self._data_size = mesh.shape["data"]
         else:
+            self._batch_sharding = None
             self._data_size = 1
+
+    def _device_put_batch(self, x):
+        if x is None:
+            return None
+        x = jnp.asarray(x)
+        if self._batch_sharding is not None:
+            x = jax.device_put(x, self._batch_sharding)
+        return x
 
     def _group_key(self, batch, flags):
         present = tuple(sorted(
@@ -355,8 +365,15 @@ class VarianceServer(DiffSingerVarianceInfer):
                         for k in rows[0][5]
                     }
                 rng = jax.random.PRNGKey((seed if seed >= 0 else 0) & 0xFFFF_FFFF)
+                array_kwargs = {k: self._device_put_batch(v)
+                                for k, v in array_kwargs.items()}
+                if spk_mix is not None:
+                    spk_mix = {k: self._device_put_batch(v)
+                               for k, v in spk_mix.items()}
                 dur_b, pitch_b, vars_b = self._run_padded(
-                    tokens, midi, ph2word, base_pitch, array_kwargs, spk_mix,
+                    self._device_put_batch(tokens), self._device_put_batch(midi),
+                    self._device_put_batch(ph2word),
+                    self._device_put_batch(base_pitch), array_kwargs, spk_mix,
                     flags, rng, steps,
                 )
                 dur_np = np.asarray(dur_b) if dur_b is not None else None

@@ -281,3 +281,23 @@ def test_variance_server_batches_segments(tmp_path):
         assert set(vars_) == {"energy"}
         assert np.isfinite(vars_["energy"]).all()
         assert vars_["energy"].shape == (t_s,)
+
+    # ---- multi-chip serving: 4-device data-parallel mesh, same outputs ----
+    from diffsinger_tpu.parallel.mesh import create_mesh, replicated_sharding
+
+    mesh = create_mesh(jax.devices()[:4], data=4, model=1)
+    srv_mesh = VarianceServer(hp, max_batch_size=4, mesh=mesh,
+                              predictions=set())
+    srv_mesh.params = jax.device_put(seq.params, replicated_sharding(mesh))
+    preds_mesh = srv_mesh.predict_batch([dict(s) for s in segments], seed=5,
+                                        steps=2)
+    for (d0, p0, v0), (d1, p1, v1) in zip(preds, preds_mesh):
+        # identical params + identical seeds: the data-parallel partition of
+        # the same program must reproduce the single-host outputs
+        if d0 is None:
+            assert d1 is None
+        else:
+            np.testing.assert_allclose(d0, d1, atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(p0, p1, atol=1e-3, rtol=1e-4)
+        np.testing.assert_allclose(v0["energy"], v1["energy"], atol=1e-3,
+                                   rtol=1e-4)
