@@ -18,6 +18,12 @@ bytes so the roofline floor (MXU peak vs HBM bandwidth, whichever binds) is
 printed next to the measurement — "B=1 is slow" is only actionable if the
 floor says it shouldn't be.
 
+CAVEAT: XLA cost analysis counts a ``lax.scan`` body ONCE, so the
+sampler/e2e floors here understate the true floor by ~the step count (the
+null and vocoder rows are exact; bench.py applies the scan correction for
+the headline MFU).  Cross-program comparisons of *measured* ms are what this
+probe is for; treat sampler/e2e `sol_pct` as an upper bound on headroom.
+
 Usage: python tools/perf_b1_latency.py [--record]
 Writes docs/perf/b1_latency.json with --record.
 """
