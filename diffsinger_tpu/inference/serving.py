@@ -31,7 +31,42 @@ from diffsinger_tpu.utils import pad_to
 from diffsinger_tpu.utils.infer_utils import save_wav
 
 
-class AcousticServer(DiffSingerAcousticInfer):
+class _ServerMixin:
+    """Shared batch-serving scaffolding for the acoustic/variance servers:
+    mesh wiring (replicated params + data-axis batch sharding), the
+    device-put helper, and the per-segment-seed policy warning."""
+
+    def _init_serving(self, max_batch_size: int, mesh):
+        self.max_batch_size = max_batch_size
+        self.mesh = mesh
+        if mesh is not None:
+            from diffsinger_tpu.parallel.mesh import batch_sharding, replicated_sharding
+
+            self._batch_sharding = batch_sharding(mesh)
+            self.params = jax.device_put(self.params, replicated_sharding(mesh))
+            self._data_size = mesh.shape["data"]
+        else:
+            self._batch_sharding = None
+            self._data_size = 1
+
+    def _device_put_batch(self, x):
+        if x is None:
+            return None
+        x = jnp.asarray(x)
+        if self._batch_sharding is not None:
+            x = jax.device_put(x, self._batch_sharding)
+        return x
+
+    @staticmethod
+    def _warn_per_segment_seeds(params: List[dict]):
+        if any("seed" in p for p in params):
+            import warnings
+
+            warnings.warn("batched serving ignores per-segment 'seed' fields; "
+                          "use --seed for deterministic output")
+
+
+class AcousticServer(_ServerMixin, DiffSingerAcousticInfer):
     """Batch-of-segments acoustic synthesis.
 
     ``synthesize_batch(segments)`` preprocesses all segments, groups them by
@@ -45,27 +80,24 @@ class AcousticServer(DiffSingerAcousticInfer):
 
     def __init__(self, hparams: dict, max_batch_size: int = 8, mesh=None, **kwargs):
         super().__init__(hparams, **kwargs)
-        self.max_batch_size = max_batch_size
-        self.mesh = mesh
-        if mesh is not None:
-            from diffsinger_tpu.parallel.mesh import batch_sharding, replicated_sharding
+        self._init_serving(max_batch_size, mesh)
+        if mesh is not None and getattr(self, "vocoder", None) is not None \
+                and hasattr(self.vocoder, "params"):
+            from diffsinger_tpu.parallel.mesh import replicated_sharding
 
-            self._batch_sharding = batch_sharding(mesh)
-            repl = replicated_sharding(mesh)
-            self.params = jax.device_put(self.params, repl)
-            if getattr(self, "vocoder", None) is not None and hasattr(self.vocoder, "params"):
-                self.vocoder.params = jax.device_put(self.vocoder.params, repl)
-            self._data_size = mesh.shape["data"]
-        else:
-            self._batch_sharding = None
-            self._data_size = 1
+            self.vocoder.params = jax.device_put(
+                self.vocoder.params, replicated_sharding(mesh))
 
     def _group_key(self, batch: Dict[str, np.ndarray]):
         t_txt = bucket_length(batch["tokens"].shape[1], step=16, minimum=16)
         t_mel = bucket_length(batch["mel2ph"].shape[1])
-        # speaker-mix width must match within a stacked group
-        n_spk = batch["spk_mix_id"].shape[-1] if "spk_mix_id" in batch else 0
-        return (t_txt, t_mel, n_spk)
+        # speaker-mix width AND static/dynamic-ness must match within a
+        # stacked group: a static [1, 1, N] value row cannot be concatenated
+        # with (or zero-padded against) a dynamic [1, T, N] row
+        spk = ((batch["spk_mix_id"].shape[-1],
+                batch["spk_mix_value"].shape[1] > 1)
+               if "spk_mix_id" in batch else None)
+        return (t_txt, t_mel, spk)
 
     def synthesize_batch(
         self, segments: List[dict], seed: int = -1, steps: Optional[int] = None,
@@ -80,9 +112,9 @@ class AcousticServer(DiffSingerAcousticInfer):
         # programs stay shape-keyed in the jit cache. Speaker-mix width still
         # partitions chunks (stacking requires equal widths).
         keys = [self._group_key(b) for b in batches]
-        groups: Dict[int, List[int]] = defaultdict(list)
-        for i, (_t_txt, _t_mel, n_spk) in enumerate(keys):
-            groups[n_spk].append(i)
+        groups: Dict[tuple, List[int]] = defaultdict(list)
+        for i, (_t_txt, _t_mel, spk) in enumerate(keys):
+            groups[spk].append(i)
 
         results: List[Optional[np.ndarray]] = [None] * len(segments)
         hop = self.hparams["hop_size"]
@@ -94,8 +126,8 @@ class AcousticServer(DiffSingerAcousticInfer):
         # JAX dispatch is non-blocking; with 1-2 chunks per score this stays
         # far from the deep-queue pathology the axon tunnel shows on training
         # loops (NOTES.md round-3 session 6).
-        pending = []  # (chunk, wav_dev, t_dispatch)
-        for _n_spk, idxs in groups.items():
+        pending = []  # (chunk, t_txt, t_mel, wav_dev, t_dispatch_s)
+        for _spk, idxs in groups.items():
             idxs = sorted(idxs, key=lambda i: (keys[i][1], keys[i][0]))
             for chunk_start in range(0, len(idxs), self.max_batch_size):
                 chunk = idxs[chunk_start : chunk_start + self.max_batch_size]
@@ -110,20 +142,24 @@ class AcousticServer(DiffSingerAcousticInfer):
                 else:
                     mel, f0 = self._run_group(stacked, rng, steps)
                     wav_dev = self.vocoder.spec2wav_jax(mel, jnp.asarray(f0))
-                pending.append((chunk, t_txt, t_mel, wav_dev, t0))
+                # dispatch wall captured HERE (phase 1), not at fetch time —
+                # otherwise later chunks' "dispatch" would absorb earlier
+                # chunks' compute+fetch walls
+                pending.append((chunk, t_txt, t_mel, wav_dev,
+                                time.perf_counter() - t0))
 
-        for chunk, t_txt, t_mel, wav_dev, t0 in pending:
+        for chunk, t_txt, t_mel, wav_dev, dispatch_s in pending:
+            t1 = time.perf_counter()
             if profile:
-                t1 = time.perf_counter()
                 np.asarray(wav_dev[:1, :1])  # forces remote execution (tunnel)
-                t2 = time.perf_counter()
+            t2 = time.perf_counter()
             wavs = np.asarray(wav_dev)
             if wavs.dtype == np.int16:  # fused path ships int16 over the wire
                 wavs = wavs.astype(np.float32) / 32767.0
             if profile:
                 t3 = time.perf_counter()
                 print(f"| serve chunk B={len(chunk)} [{t_txt}x{t_mel}]: "
-                      f"stack+dispatch {t1-t0:.3f}s compute {t2-t1:.3f}s "
+                      f"stack+dispatch {dispatch_s:.3f}s compute-wait {t2-t1:.3f}s "
                       f"fetch {t3-t2:.3f}s ({wav_dev.nbytes/1e6:.1f} MB)")
             for j, seg_idx in enumerate(chunk):
                 length = batches[seg_idx]["mel2ph"].shape[1]
@@ -154,11 +190,7 @@ class AcousticServer(DiffSingerAcousticInfer):
             return super().run_inference(
                 params, out_dir=out_dir, title=title, num_runs=num_runs,
                 spk_mix=spk_mix, seed=seed, save_mel=True, steps=steps, depth=depth)
-        if any("seed" in p for p in params):
-            import warnings
-
-            warnings.warn("batched serving ignores per-segment 'seed' fields; "
-                          "use --seed for deterministic output")
+        self._warn_per_segment_seeds(params)
         out_dir = pathlib.Path(out_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
         for run in range(num_runs):
@@ -266,7 +298,7 @@ class AcousticServer(DiffSingerAcousticInfer):
         )
 
 
-class VarianceServer(DiffSingerVarianceInfer):
+class VarianceServer(_ServerMixin, DiffSingerVarianceInfer):
     """Batch-of-segments variance prediction (VERDICT r3 #3: the chain's
     variance stage ran segments serially while the acoustic stage batched).
 
@@ -282,25 +314,7 @@ class VarianceServer(DiffSingerVarianceInfer):
 
     def __init__(self, hparams: dict, max_batch_size: int = 8, mesh=None, **kwargs):
         super().__init__(hparams, **kwargs)
-        self.max_batch_size = max_batch_size
-        self.mesh = mesh
-        if mesh is not None:
-            from diffsinger_tpu.parallel.mesh import batch_sharding, replicated_sharding
-
-            self._batch_sharding = batch_sharding(mesh)
-            self.params = jax.device_put(self.params, replicated_sharding(mesh))
-            self._data_size = mesh.shape["data"]
-        else:
-            self._batch_sharding = None
-            self._data_size = 1
-
-    def _device_put_batch(self, x):
-        if x is None:
-            return None
-        x = jnp.asarray(x)
-        if self._batch_sharding is not None:
-            x = jax.device_put(x, self._batch_sharding)
-        return x
+        self._init_serving(max_batch_size, mesh)
 
     def _group_key(self, batch, flags):
         present = tuple(sorted(
@@ -308,7 +322,10 @@ class VarianceServer(DiffSingerVarianceInfer):
                         "note_glide", "languages")
             if k in batch and batch[k] is not None
         ))
+        # both mix levels' speaker counts AND static/dynamic-ness must match
+        # within a stacked group (a [1,1,N] row cannot concat with [1,T,M])
         spk = (batch["ph_spk_mix_id"].shape[-1],
+               batch["spk_mix_id"].shape[-1],
                batch["ph_spk_mix_value"].shape[1] > 1,
                batch["spk_mix_value"].shape[1] > 1) if "ph_spk_mix_id" in batch else None
         return (flags, present, spk)
@@ -394,11 +411,7 @@ class VarianceServer(DiffSingerVarianceInfer):
                       steps: Optional[int] = None):
         import json
 
-        if any("seed" in p for p in params):
-            import warnings
-
-            warnings.warn("batched serving ignores per-segment 'seed' fields; "
-                          "use --seed for deterministic output")
+        self._warn_per_segment_seeds(params)
         out_dir = pathlib.Path(out_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
         for run in range(num_runs):

@@ -38,6 +38,32 @@ from diffsinger_tpu.utils.seq import gather_frames, length_regulator, rhythm_reg
 VARIANCE_CHECKLIST = ["energy", "breathiness", "voicing", "tension"]
 
 
+_warned_max_beta = False
+
+
+def _warn_unread_max_beta(hp: dict) -> None:
+    """One-time notice that max_beta is accepted but unread (reference
+    parity — see the schedule construction below).  DDPM checkpoints trained
+    by THIS codebase before 2026-08 used the config endpoint (0.02 by
+    default); their samplers now run the reference's fixed 0.01 schedule."""
+    global _warned_max_beta
+    mb = hp.get("max_beta")
+    if (_warned_max_beta or mb is None
+            or hp.get("schedule_type", "linear") != "linear"
+            or abs(float(mb) - 0.01) < 1e-12):
+        return
+    _warned_max_beta = True
+    import warnings
+
+    warnings.warn(
+        f"max_beta={mb} is accepted but UNREAD: the reference never forwards "
+        "it into its beta schedule, so for checkpoint/sample parity the "
+        "linear schedule always ends at 0.01. DDPM checkpoints trained by "
+        "this codebase before 2026-08 used the configured endpoint and need "
+        "retraining or a schedule override for exact self-parity."
+    )
+
+
 def variance_prediction_list(hp: dict) -> list:
     return [v for v in VARIANCE_CHECKLIST if hp.get(f"predict_{v}", False)]
 
@@ -131,6 +157,7 @@ class DiffSingerAcoustic:
             # (ddpm.py:28,67; GaussianDiffusion is constructed without betas,
             # toplevel.py:60-69) — so checkpoint/sample parity requires
             # ignoring the config key the same way.
+            _warn_unread_max_beta(hp)
             self.schedule = DiffusionSchedule.create(
                 hp.get("schedule_type", "linear"), self.timesteps
             )
@@ -518,6 +545,7 @@ class DiffSingerVariance:
         if self.diffusion_type == "ddpm":
             # max_beta deliberately not forwarded — reference parity (see the
             # acoustic model's schedule construction above)
+            _warn_unread_max_beta(hp)
             self.schedule = DiffusionSchedule.create(
                 hp.get("schedule_type", "linear"), self.timesteps
             )

@@ -374,3 +374,28 @@ def test_finetune_filter_honors_reference_prefixes(acoustic_hp):
               jax.tree_util.tree_flatten_with_path(merged2)[0]}
     for k in embeds:
         assert flat_2[k].shape == flat_t[k].shape
+
+
+def test_max_beta_unread_warns_once(acoustic_hp):
+    """max_beta is accepted-but-unread for reference parity (the reference
+    never forwards it into its beta schedule); a non-0.01 value must warn
+    exactly once so self-trained pre-fix DDPM checkpoints don't break
+    silently."""
+    import warnings
+
+    from diffsinger_tpu.models import toplevel
+    from diffsinger_tpu.models.toplevel import DiffSingerAcoustic
+
+    hp = dict(acoustic_hp, diffusion_type="ddpm", use_shallow_diffusion=False,
+              max_beta=0.02)
+    toplevel._warned_max_beta = False
+    with pytest.warns(UserWarning, match="UNREAD"):
+        DiffSingerAcoustic(hp, vocab_size=20, out_dims=16)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # second construction: silent
+        DiffSingerAcoustic(hp, vocab_size=20, out_dims=16)
+    # the reference-default endpoint itself never warns
+    toplevel._warned_max_beta = False
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        DiffSingerAcoustic(dict(hp, max_beta=0.01), vocab_size=20, out_dims=16)

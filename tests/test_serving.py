@@ -165,13 +165,14 @@ def test_serving_and_crossfade_on_long_multisegment_sample(tmp_path):
     assert abs(nb - n) <= 2 * hop
 
 
-def _tiny_variance_exp(tmp_path):
+def _tiny_variance_exp(tmp_path, extra=None, name="tiny_var_serving"):
     from tests.test_e2e_infer import TINY_COMMON, _make_exp
 
     hp = _make_exp(
         tmp_path, str(REPO / "configs" / "variance.yaml"),
         dict(
             TINY_COMMON,
+            **(extra or {}),
             predict_energy=True,
             dur_prediction_args=dict(
                 arch="fs2", hidden_size=32, dropout=0.1, num_layers=2, kernel_size=3,
@@ -190,7 +191,7 @@ def _tiny_variance_exp(tmp_path):
                                    dilation_cycle_length=2),
             ),
         ),
-        "tiny_var_serving",
+        name,
     )
     hp["infer"] = True
 
@@ -301,3 +302,107 @@ def test_variance_server_batches_segments(tmp_path):
         np.testing.assert_allclose(p0, p1, atol=1e-3, rtol=1e-4)
         np.testing.assert_allclose(v0["energy"], v1["energy"], atol=1e-3,
                                    rtol=1e-4)
+
+
+def test_acoustic_server_separates_static_and_dynamic_spk_mixes(tmp_path):
+    """Regression: sort-and-pack grouping keyed chunks only on speaker COUNT,
+    so a static [1,1,N] mix row could co-group with a dynamic [1,T,N] row —
+    zero-padding the static segment's speaker weights to t_mel (silent
+    garbage) or tripping pad_to's length assertion."""
+    from tests.test_e2e_infer import TINY_COMMON, _make_exp
+
+    hp = _make_exp(
+        tmp_path, str(REPO / "configs" / "acoustic.yaml"),
+        dict(
+            TINY_COMMON,
+            audio_num_mel_bins=16,
+            use_spk_id=True, num_spk=2,
+            backbone_args=dict(num_channels=32, num_layers=1, kernel_size=7,
+                               dropout_rate=0.0, strong_cond=True),
+            shallow_diffusion_args=dict(
+                train_aux_decoder=True, train_diffusion=True, val_gt_start=False,
+                aux_decoder_arch="convnext",
+                aux_decoder_args=dict(num_channels=16, num_layers=1, kernel_size=7,
+                                      dropout_rate=0.1),
+                aux_decoder_grad=0.1,
+            ),
+            vocoder_ckpt=str(tmp_path / "none.ckpt"),
+        ),
+        "tiny_serving_spk",
+    )
+    hp["infer"] = True
+    with open(pathlib.Path(hp["work_dir"]) / "spk_map.json", "w") as f:
+        json.dump({"alice": 0, "bob": 1}, f)
+
+    from diffsinger_tpu.models.toplevel import DiffSingerAcoustic
+    from diffsinger_tpu.utils.ckpt import checkpoint_path, save_checkpoint
+    from diffsinger_tpu.utils.text import load_phoneme_dictionary
+
+    vocab = len(load_phoneme_dictionary(hp))
+    model = DiffSingerAcoustic(hp, vocab_size=vocab, out_dims=16)
+    save_checkpoint(checkpoint_path(hp["work_dir"], 10),
+                    model.init(jax.random.PRNGKey(0)),
+                    category="acoustic", global_step=10)
+
+    with open(SAMPLE, encoding="utf-8") as f:
+        base = json.load(f)[0]
+    segments = []
+    for i, mix in enumerate((
+        {"alice": 0.6, "bob": 0.4},                       # static 2-spk [1,1,2]
+        {"alice": "0.2 0.8 0.5", "bob": 0.5},             # dynamic 2-spk [1,T,2]
+        {"alice": 1.0},                                   # static 1-spk [1,1,1]
+    )):
+        s = dict(base)
+        s["offset"] = float(s.get("offset", 0.0)) + 10.0 * i
+        s["spk_mix"] = mix
+        if any(isinstance(v, str) for v in mix.values()):
+            s["spk_mix_timestep"] = "0.5"
+        segments.append(s)
+
+    from diffsinger_tpu.inference.serving import AcousticServer
+
+    with pytest.warns(UserWarning):  # random vocoder
+        server = AcousticServer(hp, max_batch_size=4)
+    wavs = server.synthesize_batch(segments, seed=1, steps=2)
+    assert len(wavs) == 3
+    hop, sr = hp["hop_size"], hp["audio_sample_rate"]
+    for seg, wav in zip(segments, wavs):
+        frames = round(np.round(np.cumsum([float(d) for d in seg["ph_dur"].split()])[-1]
+                                / (hop / sr) + 0.5))
+        assert abs(len(wav) - frames * hop) <= hop
+        assert np.isfinite(wav).all()
+    # the static segment must NOT be silent/degenerate (zero-padded weights
+    # would zero its speaker embedding for every frame after the first)
+    assert np.abs(wavs[0]).max() > 0
+
+
+def test_variance_server_separates_frame_mix_widths(tmp_path):
+    """Regression: VarianceServer's group key omitted the FRAME-level mix
+    speaker count, so segments with different frame-mix widths co-grouped and
+    np.concatenate crashed on mismatched [1,1,N] rows."""
+    hp = _tiny_variance_exp(
+        tmp_path, extra=dict(use_spk_id=True, num_spk=2),
+        name="tiny_var_serving_spk")
+    with open(pathlib.Path(hp["work_dir"]) / "spk_map.json", "w") as f:
+        json.dump({"alice": 0, "bob": 1}, f)
+
+    with open(SAMPLE, encoding="utf-8") as f:
+        base = json.load(f)[0]
+    segments = []
+    for i, mix in enumerate(({"alice": 1.0}, {"alice": 0.5, "bob": 0.5})):
+        s = dict(base)
+        s.pop("f0_seq", None)
+        s.pop("f0_timestep", None)
+        s["offset"] = float(s.get("offset", 0.0)) + 10.0 * i
+        s["ph_spk_mix"] = {"alice": 1.0}
+        s["spk_mix"] = mix
+        segments.append(s)
+
+    from diffsinger_tpu.inference.serving import VarianceServer
+
+    srv = VarianceServer(hp, max_batch_size=4, predictions=set())
+    preds = srv.predict_batch(segments, seed=5, steps=2)
+    assert len(preds) == 2
+    for _dur, pitch, vars_ in preds:
+        assert pitch is not None and np.isfinite(pitch).all()
+        assert np.isfinite(vars_["energy"]).all()

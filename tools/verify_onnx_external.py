@@ -92,8 +92,17 @@ def main(argv=None):
             continue
         with np.load(npz_path) as npz:
             cases, atol, rtol = _load_cases(npz)
+        if not cases:
+            print(f"FAIL {model_path.stem}: fixture has zero cases")
+            failures += 1
+            continue
         for k, (ins, want) in enumerate(cases):
             got = run(model_path, ins)
+            if len(got) != len(want):  # checked per case, BEFORE zip truncates
+                print(f"FAIL {model_path.stem} case{k}: {len(got)} outputs, "
+                      f"expected {len(want)}")
+                failures += 1
+                continue
             for i, (g, w) in enumerate(zip(got, want)):
                 g = np.asarray(g)
                 mae = float(np.abs(g.astype(np.float64) - w.astype(np.float64)).mean())
@@ -103,9 +112,6 @@ def main(argv=None):
                       f"MAE {mae:.3e} (atol {atol:g} rtol {rtol:g}) shape {g.shape}")
                 if not ok:
                     failures += 1
-        if len(got) != len(want):
-            print(f"FAIL {model_path.stem}: {len(got)} outputs, expected {len(want)}")
-            failures += 1
     return 1 if failures else 0
 
 
