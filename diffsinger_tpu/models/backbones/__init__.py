@@ -7,6 +7,7 @@ from flax import linen as nn
 
 from diffsinger_tpu.utils import filter_kwargs
 
+from diffsinger_tpu.models.commons import resolve_remat_policy  # noqa: F401  (re-export)
 from .lynxnet import LYNXNet
 from .wavenet import WaveNet
 
@@ -17,7 +18,7 @@ BACKBONES = {
 
 
 def build_backbone(out_dims: int, num_feats: int, backbone_type: str, backbone_args: dict, *,
-                   cond_dims: int, dtype=None, remat: bool = False):
+                   cond_dims: int, dtype=None, remat=False):
     cls = BACKBONES[backbone_type]
     kwargs = filter_kwargs(dict(backbone_args), cls)
     kwargs.setdefault("dtype", dtype)

@@ -14,7 +14,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from diffsinger_tpu.models.commons import kaiming_normal_torch, sinusoidal_pos_emb, swiglu
+from diffsinger_tpu.models.commons import (
+    kaiming_normal_torch, resolve_remat_policy, sinusoidal_pos_emb, swiglu,
+)
 
 
 class PReLU(nn.Module):
@@ -126,10 +128,11 @@ class LYNXNet(nn.Module):
     strong_cond: bool = False
     dtype: Optional[jnp.dtype] = None
     # rematerialize each residual layer on the backward pass
-    # (jax.checkpoint): activation memory drops from O(layers) to O(1)
-    # layers at ~1/3 extra compute — enables much larger batch/frame
-    # budgets per chip (config key: recompute_grads)
-    remat: bool = False
+    # (jax.checkpoint): True/"full" drops activation memory from O(layers)
+    # to O(1) layers at ~1/3 extra compute; "dots"/"dots_no_batch" save
+    # matmul outputs and recompute only elementwise chains (config key:
+    # recompute_grads; see backbones.resolve_remat_policy)
+    remat: object = False
 
     @nn.compact
     def __call__(
@@ -153,9 +156,11 @@ class LYNXNet(nn.Module):
         step = nn.Dense(c, dtype=self.dtype, name="diffusion_embedding_3")(step)
 
         layer_cls = LYNXNetResidualLayer
-        if self.remat:
+        remat_on, remat_policy = resolve_remat_policy(self.remat)
+        if remat_on:
             # deterministic (arg index 4, counting self) is a static python bool
-            layer_cls = nn.remat(LYNXNetResidualLayer, static_argnums=(4,))
+            layer_cls = nn.remat(LYNXNetResidualLayer, static_argnums=(4,),
+                                 policy=remat_policy)
         for i in range(self.num_layers):
             x = layer_cls(
                 dim=c,

@@ -14,7 +14,9 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from diffsinger_tpu.models.commons import kaiming_normal_torch, sinusoidal_pos_emb
+from diffsinger_tpu.models.commons import (
+    kaiming_normal_torch, resolve_remat_policy, sinusoidal_pos_emb,
+)
 
 
 def mish(x: jnp.ndarray) -> jnp.ndarray:
@@ -64,7 +66,7 @@ class WaveNet(nn.Module):
     dilation_cycle_length: int = 4
     dtype: Optional[jnp.dtype] = None
     # rematerialize residual blocks on backward (see LYNXNet.remat)
-    remat: bool = False
+    remat: object = False
 
     @nn.compact
     def __call__(self, spec: jnp.ndarray, diffusion_step: jnp.ndarray, cond: jnp.ndarray,
@@ -79,7 +81,9 @@ class WaveNet(nn.Module):
         step = mish(step)
         step = nn.Dense(c, dtype=self.dtype, name="mlp_2")(step)
 
-        block_cls = nn.remat(ResidualBlock) if self.remat else ResidualBlock
+        remat_on, remat_policy = resolve_remat_policy(self.remat)
+        block_cls = (nn.remat(ResidualBlock, policy=remat_policy)
+                     if remat_on else ResidualBlock)
         skip_sum = jnp.zeros_like(x)
         for i in range(self.num_layers):
             x, skip = block_cls(

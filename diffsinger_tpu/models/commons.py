@@ -392,3 +392,34 @@ class FastSpeech2Encoder(nn.Module):
             )(x, padding_mask, deterministic=deterministic) * nonpadding
         x = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(x) * nonpadding
         return x
+
+
+def resolve_remat_policy(remat):
+    """Map the ``recompute_grads`` config value to a jax.checkpoint policy.
+
+    - False/None: no remat
+    - True / "full": remat everything (activation memory O(1) layers,
+      ~1/3 extra compute)
+    - "dots" / "dots_no_batch": SELECTIVE remat — save matmul outputs,
+      recompute only the cheap elementwise/norm chains between them on the
+      backward pass. On an HBM-bound training step this trades a little
+      recompute for less saved-activation traffic without full remat's
+      extra-bytes pathology (docs/perf/train_step_parts.json ab_runs).
+
+    Returns (enabled, policy_or_None).
+    """
+    import jax
+
+    if not remat:
+        return False, None
+    if remat is True or remat == "full":
+        return True, None
+    policies = {
+        "dots": jax.checkpoint_policies.dots_saveable,
+        "dots_no_batch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+    }
+    if remat not in policies:
+        raise ValueError(
+            f"recompute_grads={remat!r}: expected bool, 'full', 'dots', or "
+            "'dots_no_batch'")
+    return True, policies[remat]

@@ -108,7 +108,7 @@ class AcousticModule(nn.Module):
         self.denoiser = build_backbone(
             self.out_dims, 1, backbone_type, backbone_args,
             cond_dims=hp["hidden_size"], dtype=self.dtype,
-            remat=bool(hp.get("recompute_grads", False)),
+            remat=hp.get("recompute_grads", False),
         )
 
     def encode(self, txt_tokens, mel2ph, f0, **kwargs) -> jnp.ndarray:
@@ -393,7 +393,7 @@ class VarianceModule(nn.Module):
             self.pitch_denoiser = build_backbone(
                 pitch_hp["repeat_bins"], 1, backbone_type, backbone_args,
                 cond_dims=h, dtype=self.dtype,
-                remat=bool(hp.get("recompute_grads", False)),
+                remat=hp.get("recompute_grads", False),
             )
         if self.var_list:
             self.pitch_embed = Linear(h)
@@ -405,7 +405,7 @@ class VarianceModule(nn.Module):
             self.variance_denoiser = build_backbone(
                 repeat_bins, len(self.var_list), backbone_type, backbone_args,
                 cond_dims=h, dtype=self.dtype,
-                remat=bool(hp.get("recompute_grads", False)),
+                remat=hp.get("recompute_grads", False),
             )
 
     # --- parameterized pieces, exposed as apply methods ---
