@@ -183,7 +183,11 @@ def acoustic(proj, exp, ckpt, spk, lang, out, title, num, key, gender, seed, dep
 @click.option("--expr", type=click.FloatRange(min=0, max=1), required=False)
 @click.option("--seed", type=click.INT, default=-1)
 @click.option("--steps", type=click.IntRange(min=1), required=False)
-def variance(proj, exp, ckpt, predict: Tuple[str], spk, lang, out, title, num, key, expr, seed, steps):
+@click.option("--batch_size", type=click.IntRange(min=1), default=1,
+              help="serve segments in flag/bucket-grouped batches of up to "
+                   "this size (one jitted dispatch per group chunk)")
+def variance(proj, exp, ckpt, predict: Tuple[str], spk, lang, out, title, num, key, expr, seed,
+             steps, batch_size):
     name = proj.stem if not title else title
     if out is None:
         out = proj.parent
@@ -218,7 +222,13 @@ def variance(proj, exp, ckpt, predict: Tuple[str], spk, lang, out, title, num, k
 
     from diffsinger_tpu.inference.ds_variance import DiffSingerVarianceInfer
 
-    infer_ins = DiffSingerVarianceInfer(hp, ckpt_steps=ckpt, predictions=set(predict))
+    if batch_size > 1:
+        from diffsinger_tpu.inference.serving import VarianceServer
+
+        infer_ins = VarianceServer(hp, max_batch_size=batch_size,
+                                   ckpt_steps=ckpt, predictions=set(predict))
+    else:
+        infer_ins = DiffSingerVarianceInfer(hp, ckpt_steps=ckpt, predictions=set(predict))
     print(f"| Model: {type(infer_ins.model)}")
     try:
         infer_ins.run_inference(params, out_dir=out, title=name, num_runs=num, seed=seed)

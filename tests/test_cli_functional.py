@@ -254,3 +254,71 @@ def test_infer_cli_acoustic_mel(tmp_path):
     data = np.load(out_dir / "cli.mel.npz")
     assert int(data["num_segments"]) == 2
     assert data["mel_0"].shape[1] == 16
+
+
+def test_infer_cli_variance_batched(tmp_path):
+    """scripts/infer.py variance --batch_size: the batched VarianceServer
+    path via subprocess (auto-completion of ph_dur/f0/energy on a stripped
+    multi-segment score)."""
+    import json
+
+    import jax
+
+    from tests.test_shipped_assets import _make_exp, REPO as REPO_SA
+    from diffsinger_tpu.models.toplevel import DiffSingerVariance
+    from diffsinger_tpu.utils.ckpt import checkpoint_path, save_checkpoint
+    from diffsinger_tpu.utils.text import load_phoneme_dictionary
+
+    hp = _make_exp(
+        tmp_path, REPO_SA / "configs" / "variance.yaml",
+        dict(
+            hidden_size=32, enc_layers=1, sampling_steps=2,
+            predict_energy=True,
+            dur_prediction_args=dict(
+                arch="fs2", hidden_size=32, dropout=0.1, num_layers=2,
+                kernel_size=3, log_offset=1.0, loss_type="mse",
+                lambda_pdur_loss=0.3, lambda_wdur_loss=1.0, lambda_sdur_loss=3.0,
+            ),
+            pitch_prediction_args=dict(
+                pitd_norm_min=-8.0, pitd_norm_max=8.0, pitd_clip_min=-12.0,
+                pitd_clip_max=12.0, repeat_bins=8, backbone_type="wavenet",
+                backbone_args=dict(num_layers=2, num_channels=16,
+                                   dilation_cycle_length=2),
+            ),
+            variances_prediction_args=dict(
+                total_repeat_bins=8, backbone_type="wavenet",
+                backbone_args=dict(num_layers=2, num_channels=16,
+                                   dilation_cycle_length=2),
+            ),
+        ),
+        "cli_var_exp",
+    )
+    vocab = len(load_phoneme_dictionary(hp))
+    model = DiffSingerVariance(hp, vocab_size=vocab)
+    save_checkpoint(checkpoint_path(hp["work_dir"], 100),
+                    model.init(jax.random.PRNGKey(0)),
+                    category="variance", global_step=100)
+
+    with open(REPO_SA / "samples" / "00_xiao_xing_xing.ds", encoding="utf8") as f:
+        segs = json.load(f)
+    assert len(segs) >= 2
+    for s in segs:  # force dur+pitch+energy auto-completion
+        s.pop("ph_dur", None)
+        s.pop("f0_seq", None)
+        s.pop("f0_timestep", None)
+    score = tmp_path / "stripped.ds"
+    score.write_text(json.dumps(segs, ensure_ascii=False))
+
+    out_dir = tmp_path / "out"
+    r = _run("scripts/infer.py", "variance", str(score),
+             "--exp", "cli_var_exp", "--out", str(out_dir), "--title", "cliv",
+             "--steps", "2", "--seed", "3", "--batch_size", "4",
+             extra_env={"DS_CKPT_ROOT": str(tmp_path / "checkpoints")})
+    assert r.returncode == 0, r.stderr[-2000:]
+    with open(out_dir / "cliv.ds", encoding="utf8") as f:
+        done = json.load(f)
+    assert len(done) == len(segs)
+    for seg in done:
+        assert "ph_dur" in seg and "f0_seq" in seg and "energy" in seg
+        f0 = np.asarray(seg["f0_seq"].split(), np.float32)
+        assert np.isfinite(f0).all() and (f0 > 0).all()
