@@ -38,8 +38,11 @@ import numpy as np
 # Bumped whenever estimator behavior changes (recorded into binarized .meta
 # provenance so dataset feature compatibility is machine-checkable). v2: WORLD
 # GetMeanF0 score normalization (mean deviation over number_of_harmonics,
-# measured against the candidate, a·k-weighted refined mean).
-ALGO_VERSION = 2
+# measured against the candidate, a·k-weighted refined mean). v3: refinement
+# FFT sized per (position, candidate) pair like WORLD's GetMeanF0 (was: one
+# global max-window FFT size for all pairs) — bucketed by class, ~3.5x faster
+# end to end with nearest-neighbor candidate pruning in O(K log K).
+ALGO_VERSION = 3
 
 TARGET_FS = 8000.0
 CHANNELS_IN_OCTAVE = 40.0
@@ -198,62 +201,81 @@ def _refine(x: np.ndarray, fs: float, positions: np.ndarray, f0s: np.ndarray,
     posl = positions[live]
 
     half = (1.5 * fs / f0l + 1.0).astype(np.int64)
-    max_half = int(half.max()) + 1
-    fft_size = _next_pow2(2 * max_half + 2)
-    base = np.arange(-max_half, max_half + 1)
+    # WORLD sizes GetMeanF0's FFT per candidate (2^ceil(log2(window+margin)));
+    # bucketing pairs by that per-pair class instead of padding everything to
+    # the global max window both matches WORLD's resolution semantics and cuts
+    # the dominant cost ~3x (high-f0 candidates vastly outnumber low-f0 ones
+    # on the log-spaced channel grid but need 8-16x smaller buffers)
+    fft_class = (2 ** np.ceil(np.log2(2 * (half + 1) + 2))).astype(np.int64)
 
     r_out = np.zeros(len(f0l))
     s_out = np.zeros(len(f0l))
-    for b0 in range(0, len(f0l), batch):
-        sl = slice(b0, min(b0 + batch, len(f0l)))
-        h = half[sl][:, None]
-        origin = _round(posl[sl] * fs + 0.001)[:, None]
-        seg_idx = np.clip(origin + base[None, :], 0, len(x) - 1)
-        seg = x[seg_idx]
-        active = np.abs(base[None, :]) <= h
-        win_time = (2.0 * h + 1.0) / fs
+    for fclass in np.unique(fft_class):
+        cls_idx = np.nonzero(fft_class == fclass)[0]
+        fft_size = int(fclass)
+        max_half = int(half[cls_idx].max()) + 1
+        base = np.arange(-max_half, max_half + 1)
+        # The Blackman window depends only on the integer half-length: build
+        # one window (and its derivative) per UNIQUE h instead of per pair
+        uniq_h, inv_h = np.unique(half[cls_idx], return_inverse=True)
+        hh = uniq_h[:, None]
+        active_u = np.abs(base[None, :]) <= hh
+        win_time = (2.0 * hh + 1.0) / fs
         t_rel = base[None, :] / fs
-        w = (0.42 + 0.5 * np.cos(2 * np.pi * t_rel / win_time)
-             + 0.08 * np.cos(4 * np.pi * t_rel / win_time))
-        w = np.where(active, w, 0.0)
-        dw = np.zeros_like(w)
-        dw[:, 1:-1] = -(w[:, 2:] - w[:, :-2]) / 2.0
+        w_lut = (0.42 + 0.5 * np.cos(2 * np.pi * t_rel / win_time)
+                 + 0.08 * np.cos(4 * np.pi * t_rel / win_time))
+        w_lut = np.where(active_u, w_lut, 0.0)
+        dw_lut = np.zeros_like(w_lut)
+        dw_lut[:, 1:-1] = -(w_lut[:, 2:] - w_lut[:, :-2]) / 2.0
 
-        main = np.fft.rfft(seg * w, n=fft_size, axis=1)
-        diff = np.fft.rfft(seg * dw, n=fft_size, axis=1)
-        power = main.real ** 2 + main.imag ** 2
-        numer = main.real * diff.imag - main.imag * diff.real
-        freqs = np.arange(power.shape[1]) * fs / fft_size
-        inst = np.where(power > 0,
-                        freqs[None, :] + numer / np.maximum(power, SAFE) * fs / (2 * np.pi),
-                        0.0)
+        for b0 in range(0, len(cls_idx), batch):
+            sl = cls_idx[b0:b0 + batch]
+            origin = _round(posl[sl] * fs + 0.001)[:, None]
+            seg_idx = np.clip(origin + base[None, :], 0, len(x) - 1)
+            seg = x[seg_idx]
+            w = w_lut[inv_h[b0:b0 + batch]]
+            dw = dw_lut[inv_h[b0:b0 + batch]]
 
-        f0b = f0l[sl]
-        n_harm = np.minimum((fs / 2.0 / f0b).astype(np.int64), 6)
-        num = np.zeros(len(f0b))
-        den = np.zeros(len(f0b))
-        dev = np.zeros(len(f0b))
-        rows = np.arange(len(f0b))
-        # WORLD GetMeanF0: refined f0 is the amplitude-weighted mean with
-        # weights a·k (numerator sums a·IF, denominator a·k); the score is the
-        # *mean* relative deviation of IF/k from the unrefined candidate over
-        # all number_of_harmonics (leakage-dominated harmonics contribute one
-        # bounded term each instead of vetoing the candidate outright)
-        for k in range(1, 7):
-            idx = np.minimum(_round(f0b * k * fft_size / fs), power.shape[1] - 1)
-            use = n_harm >= k
-            a = np.sqrt(power[rows, idx]) * use
-            num += inst[rows, idx] * a
-            den += a * k
-            dev += np.where(use, np.abs(inst[rows, idx] / k - f0b) / f0b, 0.0)
-        r = num / (den + SAFE)
-        dev = dev / np.maximum(n_harm, 1)
-        s = 1.0 / (dev + SAFE)
-        bad = (r < f0_floor) | (r > f0_ceil) | (s < REFINE_SCORE_MIN)
-        r[bad] = 0.0
-        s[bad] = 0.0
-        r_out[sl] = r
-        s_out[sl] = s
+            main = np.fft.rfft(seg * w, n=fft_size, axis=1)
+            diff = np.fft.rfft(seg * dw, n=fft_size, axis=1)
+            n_bins = main.shape[1]
+
+            f0b = f0l[sl]
+            n_harm = np.minimum((fs / 2.0 / f0b).astype(np.int64), 6)
+            num = np.zeros(len(f0b))
+            den = np.zeros(len(f0b))
+            dev = np.zeros(len(f0b))
+            rows = np.arange(len(f0b))
+            # WORLD GetMeanF0: refined f0 is the amplitude-weighted mean with
+            # weights a·k (numerator sums a·IF, denominator a·k); the score is the
+            # *mean* relative deviation of IF/k from the unrefined candidate over
+            # all number_of_harmonics (leakage-dominated harmonics contribute one
+            # bounded term each instead of vetoing the candidate outright).
+            # Power/IF are evaluated ONLY at the <=6 harmonic bins each pair
+            # reads — not over the full spectrum.
+            for k in range(1, 7):
+                idx = np.minimum(_round(f0b * k * fft_size / fs), n_bins - 1)
+                m = main[rows, idx]
+                d = diff[rows, idx]
+                p = m.real ** 2 + m.imag ** 2
+                numer = m.real * d.imag - m.imag * d.real
+                inst_k = np.where(
+                    p > 0,
+                    idx * fs / fft_size + numer / np.maximum(p, SAFE) * fs / (2 * np.pi),
+                    0.0)
+                use = n_harm >= k
+                a = np.sqrt(p) * use
+                num += inst_k * a
+                den += a * k
+                dev += np.where(use, np.abs(inst_k / k - f0b) / f0b, 0.0)
+            r = num / (den + SAFE)
+            dev = dev / np.maximum(n_harm, 1)
+            s = 1.0 / (dev + SAFE)
+            bad = (r < f0_floor) | (r > f0_ceil) | (s < REFINE_SCORE_MIN)
+            r[bad] = 0.0
+            s[bad] = 0.0
+            r_out[sl] = r
+            s_out[sl] = s
     ref[live] = r_out
     score[live] = s_out
     return ref, score
@@ -266,11 +288,33 @@ def _remove_unreliable(cands: np.ndarray, scores: np.ndarray):
         return
 
     def min_rel_err(a, b):
-        # a: [T, K] (this frame), b: [T, K'] (neighbor): min over K' per entry
-        with np.errstate(divide="ignore", invalid="ignore"):
-            rel = np.abs(a[:, :, None] - b[:, None, :]) / np.maximum(a[:, :, None], SAFE)
-        rel = np.where(b[:, None, :] > 0, rel, np.inf)
-        return rel.min(axis=2)
+        # a: [T, K] (this frame), b: [T, K'] (neighbor): min over the
+        # neighbor's positive candidates of |a-b|/a, per entry.  The nearest
+        # positive b (by value) also minimizes the relative error, so instead
+        # of the O(T*K*K') broadcast (hundreds of MB at dense candidate
+        # counts) sort all neighbors once with a per-row offset and binary-
+        # search each a: the candidates flanking the insertion point are the
+        # only minimizer candidates.
+        t = a.shape[0]
+        rows = np.arange(t)[:, None]
+        off = 1e6  # >> f0_ceil, so rows never interleave in the sort
+        b_flat = np.where(b > 0, b + rows * off, -np.inf).ravel()
+        b_sorted = np.sort(b_flat)
+        a_off = (a + rows * off).ravel()
+        pos = np.searchsorted(b_sorted, a_off)
+        a_flat = a.ravel()
+        a_rows = np.broadcast_to(rows, a.shape).ravel()
+        best = np.full(a_flat.shape, np.inf)
+        for p in (pos - 1, pos):
+            p = np.clip(p, 0, len(b_sorted) - 1)
+            cand = b_sorted[p]
+            finite = np.isfinite(cand)
+            cand_safe = np.where(finite, cand, 0.0)
+            ok = finite & (np.floor(cand_safe / off).astype(np.int64) == a_rows)
+            val = cand_safe - a_rows * off
+            rel = np.abs(a_flat - val) / np.maximum(a_flat, SAFE)
+            best = np.minimum(best, np.where(ok, rel, np.inf))
+        return best.reshape(a.shape)
 
     nxt = np.vstack([cands[1:], np.zeros((1, k))])
     prv = np.vstack([np.zeros((1, k)), cands[:-1]])
