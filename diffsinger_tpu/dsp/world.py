@@ -258,11 +258,13 @@ def _minimum_phase_spectrum(log_amp_half: np.ndarray, fft_size: int) -> np.ndarr
     cepstrum via inverse FFT, causal fold (double positive quefrencies, zero
     negatives, keep bins 0 and N/2), exponentiate the forward FFT.
     """
-    full = np.concatenate([log_amp_half, log_amp_half[:, -2:0:-1]], axis=1)
-    cep = np.fft.ifft(full, axis=1)
+    # the mirrored log spectrum is real-even, so its cepstrum is real: use the
+    # half-spectrum real FFTs (irfft/rfft) — 2x less FFT + exp work than the
+    # literal complex mirror/ifft/fft/exp formulation, identical output
+    cep = np.fft.irfft(log_amp_half, n=fft_size, axis=1)
     cep[:, 1: fft_size // 2] *= 2.0
     cep[:, fft_size // 2 + 1:] = 0.0
-    return np.exp(np.fft.fft(cep, axis=1))[:, : fft_size // 2 + 1]
+    return np.exp(np.fft.rfft(cep, axis=1))
 
 
 def _dc_remover(fft_size: int) -> np.ndarray:
@@ -384,9 +386,11 @@ def synthesize_world(
     response = periodic * np.sqrt(noise_size)[:, None] + aperiodic
 
     # --- scatter-add at pulse positions (Synthesis main loop) ---
-    y = np.zeros(y_length + 2 * fft_size)
+    # np.bincount is ~20x faster than np.add.at for this dense scatter
+    pad_len = y_length + 2 * fft_size
     offset = pulse_idx - fft_size // 2 + 1 + fft_size
-    np.add.at(y, offset[:, None] + offsets, response)
+    flat_idx = (offset[:, None] + offsets).ravel()
+    y = np.bincount(flat_idx, weights=response.ravel(), minlength=pad_len)
     return y[fft_size: fft_size + y_length]
 
 
