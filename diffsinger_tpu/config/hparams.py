@@ -86,8 +86,14 @@ def _apply_hparams_str(cfg: dict, hparams_str: str) -> None:
         k, v = item.split("=", 1)
         if k not in cfg:
             cfg[k] = yaml.safe_load(v)
-        elif v in ("True", "False") or isinstance(cfg[k], bool):
+        elif v in ("True", "False"):
             cfg[k] = v == "True"
+        elif isinstance(cfg[k], bool):
+            # yaml parse instead of (v == "True"): bool-defaulted keys accept
+            # non-bool overrides too (e.g. recompute_grads=dots), and
+            # true/yes/false still land as bools — the old coercion silently
+            # turned any unrecognized string into False
+            cfg[k] = yaml.safe_load(v)
         elif cfg[k] is None:
             cfg[k] = yaml.safe_load(v)
         else:

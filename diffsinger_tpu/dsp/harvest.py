@@ -187,9 +187,11 @@ def _refine(x: np.ndarray, fs: float, positions: np.ndarray, f0s: np.ndarray,
             f0_floor: float, f0_ceil: float, batch: int = 4096):
     """Instantaneous-frequency refinement of (position, f0) pairs.
 
-    Returns (refined_f0, score) arrays of the same shape. Vectorized over
-    pairs with per-pair Blackman windows of 3 periods masked into a shared
-    max-size buffer (window shape per pair matches WORLD GetMeanF0).
+    Returns (refined_f0, score) arrays of the same shape. Pairs are bucketed
+    by their per-pair WORLD FFT class (2^ceil(log2(window+margin)) — the size
+    GetMeanF0 itself would use); within a class, the 3-period Blackman
+    windows are cached per unique integer half-length and the power/IF
+    spectra are evaluated only at each pair's <=6 harmonic bins.
     """
     n_pairs = len(f0s)
     ref = np.zeros(n_pairs)

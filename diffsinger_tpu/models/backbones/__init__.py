@@ -7,7 +7,6 @@ from flax import linen as nn
 
 from diffsinger_tpu.utils import filter_kwargs
 
-from diffsinger_tpu.models.commons import resolve_remat_policy  # noqa: F401  (re-export)
 from .lynxnet import LYNXNet
 from .wavenet import WaveNet
 

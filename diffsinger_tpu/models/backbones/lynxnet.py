@@ -131,7 +131,7 @@ class LYNXNet(nn.Module):
     # (jax.checkpoint): True/"full" drops activation memory from O(layers)
     # to O(1) layers at ~1/3 extra compute; "dots"/"dots_no_batch" save
     # matmul outputs and recompute only elementwise chains (config key:
-    # recompute_grads; see backbones.resolve_remat_policy)
+    # recompute_grads; see models.commons.resolve_remat_policy)
     remat: object = False
 
     @nn.compact

@@ -412,7 +412,9 @@ def resolve_remat_policy(remat):
 
     if not remat:
         return False, None
-    if remat is True or remat == "full":
+    if remat == "full" or not isinstance(remat, str):
+        # any truthy non-string (True, legacy 1) means full remat, as the old
+        # bool() coercion did
         return True, None
     policies = {
         "dots": jax.checkpoint_policies.dots_saveable,
