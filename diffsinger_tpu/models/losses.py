@@ -120,7 +120,12 @@ def dur_loss(
 
     sdur_pred = dur_pred.sum(axis=1)
     sdur_gt = dur_gt.sum(axis=1)
-    sdur = err_fn(jnp.log(sdur_pred + offset), jnp.log(sdur_gt + offset)).mean()
+    # mean over REAL rows only: pad_batch_rows' duplicate rows have an all-
+    # zero mask (sdur error exactly 0) and must not dilute the sentence term
+    # (the reference's plain .mean() is identical on unpadded batches)
+    row_valid = (nonpadding.sum(axis=1) > 0).astype(jnp.float32)
+    sdur_err = err_fn(jnp.log(sdur_pred + offset), jnp.log(sdur_gt + offset))
+    sdur = (sdur_err * row_valid).sum() / jnp.maximum(row_valid.sum(), 1.0)
 
     return lambda_pdur * pdur + lambda_wdur * wdur + lambda_sdur * sdur
 

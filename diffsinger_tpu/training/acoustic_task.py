@@ -19,6 +19,26 @@ def required_variances(hp: dict) -> list:
     return [v for v in VARIANCE_CHECKLIST if hp.get(f"use_{v}_embed", False)]
 
 
+def encoder_kwargs_from_batch(hp: dict, batch: Dict) -> Dict:
+    """The conditioning kwargs the acoustic encoder needs from a collated
+    batch (spk/lang ids, key-shift/speed aug embeds, variance curves) —
+    shared by the training loss and validation inference so both paths feed
+    every enabled embed."""
+    kwargs = {}
+    if hp.get("use_spk_id", False):
+        kwargs["spk_embed_id"] = batch["spk_ids"]
+    if hp.get("use_lang_id", False):
+        kwargs["languages"] = batch["languages"]
+    if hp.get("use_key_shift_embed", False):
+        kwargs["key_shift"] = batch["key_shift"]
+    if hp.get("use_speed_embed", False):
+        kwargs["speed"] = batch["speed"]
+    variances = {v: batch[v] for v in required_variances(hp)}
+    if variances:
+        kwargs["variances"] = variances
+    return kwargs
+
+
 class AcousticTask:
     """Acoustic training task; see diffsinger_tpu.training.base_task.BaseTask."""
 
@@ -60,16 +80,21 @@ class AcousticTask:
                 if not any(i < hp.get("num_valid_plots", 10) for i in indices):
                     return
                 if not hasattr(self, "_jit_infer"):
-                    # fp32 eval model; jax.jit caches per bucket shape
+                    # fp32 eval model; jax.jit caches per (bucket shape,
+                    # kwarg-structure) signature
                     em = self.eval_model
                     self._jit_infer = _jax.jit(
-                        lambda p, rng, tokens, mel2ph, f0, mel: em.forward_infer(
-                            p, rng, tokens, mel2ph, f0, gt_mel=mel
+                        lambda p, rng, tokens, mel2ph, f0, mel, kw: em.forward_infer(
+                            p, rng, tokens, mel2ph, f0, gt_mel=mel, **kw
                         )
                     )
                 out = self._jit_infer(
                     state.params, _jax.random.PRNGKey(0),
                     batch["tokens"], batch["mel2ph"], batch["f0"], batch["mel"],
+                    # every enabled conditioning embed (spk/lang/key_shift/
+                    # speed/variances) — inferring without them crashes the
+                    # encoder at the first validation of an augmented config
+                    encoder_kwargs_from_batch(hp, batch),
                 )
                 if not hasattr(self, "_vocoder"):
                     self._vocoder = None
@@ -81,8 +106,12 @@ class AcousticTask:
                         except Exception as e:
                             print(f"| validation vocoder unavailable: {e}")
                 from diffsinger_tpu.utils.plot import spec_to_figure
+                from diffsinger_tpu.training.train_state import optimizer_step
 
-                step = int(state.step)
+                # figures align with the validation/* scalars, which log at
+                # the applied-update count (state.step counts micro-batches
+                # under gradient accumulation)
+                step = optimizer_step(state)
                 for j, data_idx in enumerate(indices):
                     if data_idx >= hp.get("num_valid_plots", 10):
                         continue
@@ -120,7 +149,6 @@ def make_acoustic_loss_fn(model: DiffSingerAcoustic):
     """loss_fn(params, batch, rng) -> (loss, metrics) for the acoustic model
     (run_model semantics, acoustic_task.py:119-169)."""
     hp = model.hp
-    var_names = required_variances(hp)
     diffusion_type = hp.get("diffusion_type", "ddpm")
     use_shallow = hp.get("use_shallow_diffusion", False)
     shallow_args = hp.get("shallow_diffusion_args", {}) if use_shallow else {}
@@ -134,18 +162,7 @@ def make_acoustic_loss_fn(model: DiffSingerAcoustic):
     log_norm = hp.get("main_loss_log_norm", False)
 
     def loss_fn(params, batch: Dict, rng: jax.Array):
-        kwargs = {}
-        if hp.get("use_spk_id", False):
-            kwargs["spk_embed_id"] = batch["spk_ids"]
-        if hp.get("use_lang_id", False):
-            kwargs["languages"] = batch["languages"]
-        if hp.get("use_key_shift_embed", False):
-            kwargs["key_shift"] = batch["key_shift"]
-        if hp.get("use_speed_embed", False):
-            kwargs["speed"] = batch["speed"]
-        variances = {v: batch[v] for v in var_names}
-        if variances:
-            kwargs["variances"] = variances
+        kwargs = encoder_kwargs_from_batch(hp, batch)
 
         aux_out, diff_out = model.forward_train(
             params, rng, batch["tokens"], batch["mel2ph"], batch["f0"], batch["mel"], **kwargs

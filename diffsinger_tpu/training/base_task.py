@@ -253,15 +253,22 @@ class BaseTask:
                             f"optimizer state in {latest} does not match the "
                             f"current optimizer config ({e}). Set "
                             f"allow_optimizer_state_reset: true to continue "
-                            f"with a reinitialized optimizer (LR schedule "
-                            f"still re-evaluates from the global step)."
+                            f"with a reinitialized optimizer (moments restart "
+                            f"from zero; the LR schedule's step counter is "
+                            f"fast-forwarded to the global step)."
                         ) from e
                     print(f"| optimizer state not restored ({e}); reinitialized "
                           f"by allow_optimizer_state_reset=true")
             import jax.numpy as jnp
             import optax
 
-            state = state.replace(step=jnp.asarray(blob["meta"]["global_step"], jnp.int32))
+            # state.step counts MICRO-batches (it keys the per-step RNG
+            # fold_in stream); the checkpoint's global_step counts applied
+            # optimizer updates — restore micro = updates * accum so the RNG
+            # stream CONTINUES instead of replaying consumed keys
+            accum = max(1, int(hp.get("accumulate_grad_batches", 1)))
+            state = state.replace(step=jnp.asarray(
+                blob["meta"]["global_step"] * accum, jnp.int32))
             # keep the applied-update counter consistent with the saved
             # global step even if the optimizer state failed to restore —
             # through freezing's multi_transform nesting too (a top-level
@@ -269,7 +276,9 @@ class BaseTask:
             # on a frozen+accumulating resume)
             state = state.replace(opt_state=sync_gradient_step(
                 state.opt_state, blob["meta"]["global_step"]))
-            print(f"| resumed from {latest} at step {blob['meta']['global_step']}")
+            self._resume_epoch = int(blob["meta"].get("epoch", 0))
+            print(f"| resumed from {latest} at step {blob['meta']['global_step']}"
+                  f" (epoch {self._resume_epoch})")
             return state
         if hp.get("finetune_enabled", False) and hp.get("finetune_ckpt_path"):
             blob = ckpt_utils.load_checkpoint(hp["finetune_ckpt_path"])
@@ -290,6 +299,7 @@ class BaseTask:
         ckpt_utils.save_checkpoint(
             path, jax.device_get(state.params), category=self.category,
             global_step=step, opt_state=jax.device_get(state.opt_state),
+            extra={"epoch": int(getattr(self, "_epoch", 0))},
         )
         deleted = ckpt_utils.keep_checkpoints(
             self.work_dir,
@@ -320,8 +330,11 @@ class BaseTask:
         if frozen_prefixes:
             import optax
 
+            # eval_shape: only the tree STRUCTURE is needed — a real init here
+            # would pay a full (discarded) parameter initialization
             mask = make_freeze_mask(
-                self.model.init(jax.random.PRNGKey(0)), frozen_prefixes
+                jax.eval_shape(self.model.init, jax.random.PRNGKey(0)),
+                frozen_prefixes,
             )
             # route frozen params to set_to_zero ENTIRELY — a pre-chained
             # gradient zero is not enough (AdamW weight decay would still
@@ -387,7 +400,11 @@ class BaseTask:
         profiling = False
 
         step = optimizer_step(state)
-        epoch = 0
+        # resume mid-training restarts the data stream at the CHECKPOINTED
+        # epoch: the sampler is seeded by (seed, epoch), so replaying from
+        # epoch 0 would double-sample early epochs' batch order
+        epoch = int(getattr(self, "_resume_epoch", 0))
+        self._epoch = epoch
         t_last = time.time()
         # host-side step tracking: `optimizer_step` is a blocking device_get
         # that would synchronize the loop every iteration (over the remote
@@ -497,6 +514,10 @@ class BaseTask:
                         "every batch position was dropped by the multi-host "
                         "minimum; check max_batch_frames vs item lengths")
                 epoch += 1
+                # checkpointed for resume (the prefetch thread runs ahead of
+                # the consumed stream by at most its depth-1 buffer, so the
+                # recorded epoch is within one batch of the true position)
+                self._epoch = epoch
 
         def commit_batch(item):
             key, batch = item
@@ -705,6 +726,14 @@ class BaseTask:
         step = optimizer_step(state)
         for k, vals in losses_acc.items():
             self.logger.add_scalar(f"validation/{k}", float(np.mean(vals)), step)
+        # streaming metric accumulators (validation_extras): log each FINAL
+        # value once — the whole-set number, not a mean of per-batch prefixes
+        metric_strs = []
+        for k, st in getattr(self, "_metric_states", {}).items():
+            val = float(st.value())
+            self.logger.add_scalar(f"metrics/{k}", val, step)
+            metric_strs.append(f"{k}={val:.4f}")
         print(f"| validation @ {step}: " +
-              " ".join(f"{k}={np.mean(v):.4f}" for k, v in losses_acc.items()))
+              " ".join(f"{k}={np.mean(v):.4f}" for k, v in losses_acc.items()) +
+              (("  " + " ".join(metric_strs)) if metric_strs else ""))
         self.logger.flush()

@@ -82,7 +82,9 @@ def build_optimizer(hp: dict):
     if cls == "AdamW":
         tx = optax.adamw(weight_decay=wd, **adam_common)
     elif cls == "Adam":
-        tx = optax.adam(**adam_common)
+        # torch.optim.Adam's weight_decay is COUPLED (adds wd*p to the grad
+        # before the moment updates), unlike AdamW's decoupled decay
+        tx = optax.chain(*coupled_wd, optax.adam(**adam_common))
     elif cls == "SGD":
         tx = optax.chain(*coupled_wd, optax.sgd(
             learning_rate=schedule,
@@ -129,14 +131,22 @@ def create_train_state(params, tx) -> TrainState:
 
 def sync_gradient_step(opt_state, step: int):
     """Return ``opt_state`` with every nested MultiStepsState's applied-update
-    counter set to ``step`` — through multi_transform/masked/chain wrappers
-    (param freezing nests MultiSteps inside MultiTransformState). Used on
-    resume so the counter matches the checkpoint's global step even when the
-    optimizer state itself could not be restored."""
+    counter AND every LR-schedule counter (ScaleByScheduleState.count) set to
+    ``step`` — through multi_transform/masked/chain wrappers (param freezing
+    nests MultiSteps inside MultiTransformState). Used on resume so the
+    counters match the checkpoint's global step even when the optimizer state
+    itself could not be restored (allow_optimizer_state_reset: moments
+    legitimately restart at zero — so ScaleByAdamState.count, which drives
+    bias correction, is deliberately NOT touched — but the schedule must
+    continue from the global step, not replay its warmup)."""
 
     def rec(o):
         if isinstance(o, optax.MultiStepsState):
+            # recurse first: the INNER opt state holds the schedule counters
+            o = type(o)(*(rec(v) for v in o))
             return o._replace(gradient_step=jnp.asarray(step, jnp.int32))
+        if isinstance(o, optax.ScaleByScheduleState):
+            return o._replace(count=jnp.asarray(step, jnp.int32))
         if isinstance(o, tuple) and hasattr(o, "_fields"):  # NamedTuple state
             return type(o)(*(rec(v) for v in o))
         if isinstance(o, tuple):

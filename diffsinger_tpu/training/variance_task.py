@@ -79,25 +79,45 @@ class VarianceTask:
                             if hp.get(f"predict_{v}", False)]
                 if not hasattr(self, "_jit_infer"):
                     # fp32 eval model; jax.jit caches per (bucket shape,
-                    # None-pattern) signature
+                    # kwarg-structure / None-pattern) signature
                     em = self.eval_model
                     self._jit_infer = _jax.jit(
-                        lambda p, rng, tokens, midi, ph2word, base_pitch, ph_dur,
-                        mel2ph, pitch: em.forward_infer(
-                            p, rng, tokens, midi, ph2word, base_pitch,
-                            ph_dur=ph_dur, mel2ph=mel2ph, pitch=pitch,
-                        )
+                        lambda p, rng, tokens, midi, ph2word, base_pitch, kw:
+                        em.forward_infer(
+                            p, rng, tokens, midi, ph2word, base_pitch, **kw)
                     )
+
+                def _j(x):
+                    # midi/ph2word are absent when predict_dur is false
+                    # (dataset.py collater) — None must pass through, not
+                    # reach jnp.asarray
+                    return _jnp.asarray(x) if x is not None else None
+
+                # every enabled conditioning input (spk/lang ids, melody-
+                # encoder note arrays) — inferring without them crashes the
+                # encoder at the first validation of such configs
+                infer_kwargs = {
+                    k: _j(batch.get(src))
+                    for k, src in (
+                        ("ph_dur", "ph_dur"), ("mel2ph", "mel2ph"),
+                        ("spk_id", "spk_ids"), ("languages", "languages"),
+                        ("note_midi", "note_midi"), ("note_rest", "note_rest"),
+                        ("note_dur", "note_dur"), ("note_glide", "note_glide"),
+                        ("mel2note", "mel2note"),
+                    )
+                    if batch.get(src) is not None
+                }
+                if var_list and batch.get("pitch") is not None:
+                    infer_kwargs["pitch"] = _j(batch["pitch"])
                 dur_pred, pitch_pred, var_pred = self._jit_infer(
                     state.params, _jax.random.PRNGKey(0),
-                    _jnp.asarray(batch["tokens"]), _jnp.asarray(batch.get("midi")),
-                    _jnp.asarray(batch.get("ph2word")),
-                    _jnp.asarray(batch.get("base_pitch")) if batch.get("base_pitch") is not None else None,
-                    _jnp.asarray(batch["ph_dur"]),
-                    _jnp.asarray(batch.get("mel2ph")) if batch.get("mel2ph") is not None else None,
-                    _jnp.asarray(batch.get("pitch")) if var_list and batch.get("pitch") is not None else None,
+                    _j(batch["tokens"]), _j(batch.get("midi")),
+                    _j(batch.get("ph2word")), _j(batch.get("base_pitch")),
+                    infer_kwargs,
                 )
-                step = int(state.step)
+                from diffsinger_tpu.training.train_state import optimizer_step
+
+                step = optimizer_step(state)
                 if not hasattr(self, "_metric_states"):
                     self._metric_states = {}
                 ms = self._metric_states
@@ -124,9 +144,10 @@ class VarianceTask:
                         mask = _jnp.asarray(batch["mel2ph"] > 0)
                         ms[f"{v}_r2"] = RawCurveR2Score().update(
                             ms.get(f"{v}_r2", R2State()), var_pred[v], _jnp.asarray(batch[v]), mask)
-                for k, st in ms.items():
-                    self.logger.add_scalar(f"metrics/{k}", st.value(), step)
-                    metrics.setdefault(k, []).append(st.value())
+                # streaming states only UPDATE here; base_task logs each
+                # metric's final value once after the last validation batch
+                # (per-batch logging would average prefix values — a biased
+                # mean — and rewrite the same TB step repeatedly)
 
                 for j, data_idx in enumerate(indices):
                     if data_idx >= hp.get("num_valid_plots", 10):

@@ -519,3 +519,147 @@ def test_optimizer_rejects_unmappable_semantic_args():
         build_optimizer({"optimizer_args": {
             "optimizer_cls": "torch.optim.SGD", "lr": 0.1, "nesterov": True},
             "lr_scheduler_args": dict(sched)})
+
+
+def test_adam_coupled_weight_decay_matches_torch():
+    """torch.optim.Adam's weight_decay is COUPLED (wd*p added to the grad
+    before the moment updates); it must not be silently dropped."""
+    import optax
+    import torch
+
+    from diffsinger_tpu.training.train_state import build_optimizer
+
+    rng = np.random.default_rng(1)
+    p0 = rng.normal(0, 1, (5,)).astype(np.float32)
+    grads = [rng.normal(0, 1, (5,)).astype(np.float32) for _ in range(20)]
+    hp = {"optimizer_args": {"optimizer_cls": "torch.optim.Adam", "lr": 0.02,
+                             "beta1": 0.8, "beta2": 0.9, "weight_decay": 0.03},
+          "lr_scheduler_args": {"scheduler_cls": "StepLR",
+                                "step_size": 10 ** 9, "gamma": 1.0}}
+    tx, _ = build_optimizer(hp)
+    params = jnp.asarray(p0)
+    opt_state = tx.init(params)
+    tp = torch.nn.Parameter(torch.tensor(p0))
+    topt = torch.optim.Adam([tp], lr=0.02, betas=(0.8, 0.9), eps=1e-8,
+                            weight_decay=0.03)
+    for g in grads:
+        updates, opt_state = tx.update(jnp.asarray(g), opt_state, params)
+        params = optax.apply_updates(params, updates)
+        tp.grad = torch.tensor(g)
+        topt.step()
+    np.testing.assert_allclose(np.asarray(params), tp.detach().numpy(),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_dur_loss_sdur_not_diluted_by_padded_rows():
+    """The sentence-duration term must average over REAL rows only: an
+    all-masked pad row previously entered the batch mean's denominator,
+    scaling lambda_sdur by real/total."""
+    from diffsinger_tpu.models.losses import dur_loss
+
+    rng = np.random.default_rng(2)
+    b, t = 3, 12
+    pred = jnp.asarray(rng.normal(1.0, 0.3, (b, t)).astype(np.float32))
+    gt = jnp.asarray(rng.integers(1, 20, (b, t)).astype(np.float32))
+    ph2word = jnp.asarray(np.tile(np.repeat(np.arange(1, 5), 3)[None], (b, 1)))
+    mask = jnp.ones((b, t), jnp.float32)
+    base = dur_loss(pred, gt, ph2word, mask)
+
+    padded = dur_loss(
+        jnp.concatenate([pred, jnp.zeros((1, t))]),
+        jnp.concatenate([gt, jnp.zeros((1, t))]),
+        jnp.concatenate([ph2word, jnp.zeros((1, t), ph2word.dtype)]),
+        jnp.concatenate([mask, jnp.zeros((1, t))]),
+    )
+    np.testing.assert_allclose(float(base), float(padded), rtol=1e-6)
+
+
+def test_sync_gradient_step_fast_forwards_schedule_count():
+    """allow_optimizer_state_reset reinitializes moments (bias correction
+    legitimately restarts) but the LR schedule must continue from the global
+    step, not replay its warmup."""
+    import optax
+
+    from diffsinger_tpu.training.train_state import sync_gradient_step
+
+    sched = lambda count: 0.001 * jnp.minimum(count / 100.0, 1.0)
+    tx = optax.MultiSteps(
+        optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(sched)), 4)
+    st = sync_gradient_step(tx.init({"w": jnp.ones((3,))}), 500)
+
+    found = {"schedule": [], "adam": []}
+
+    def walk(o):
+        if isinstance(o, optax.ScaleByScheduleState):
+            found["schedule"].append(int(o.count))
+        if isinstance(o, optax.ScaleByAdamState):
+            found["adam"].append(int(o.count))
+        if hasattr(o, "_fields") or isinstance(o, (tuple, list)):
+            for v in o:
+                walk(v)
+        elif isinstance(o, dict):
+            for v in o.values():
+                walk(v)
+
+    walk(st)
+    assert found["schedule"] and all(c == 500 for c in found["schedule"])
+    assert found["adam"] and all(c == 0 for c in found["adam"])
+    assert int(st.gradient_step) == 500
+
+
+def test_checkpoint_meta_carries_epoch():
+    """Resume restarts the data stream at the checkpointed epoch (the sampler
+    is seeded by (seed, epoch)); the epoch must round-trip through the ckpt."""
+    import tempfile
+
+    from diffsinger_tpu.utils.ckpt import load_checkpoint, save_checkpoint
+
+    with tempfile.TemporaryDirectory() as d:
+        p = f"{d}/model_ckpt_steps_7.ckpt"
+        save_checkpoint(p, {"w": np.ones((2,), np.float32)},
+                        category="acoustic", global_step=7,
+                        extra={"epoch": 3})
+        blob = load_checkpoint(p)
+        assert blob["meta"]["epoch"] == 3
+        assert blob["meta"]["global_step"] == 7
+
+
+def test_validation_infer_covers_enabled_conditioning():
+    """Validation inference must feed every enabled conditioning embed —
+    omitting spk/key_shift/speed/variances crashed the encoder at the first
+    real validation of an augmented or multi-speaker config."""
+    import __graft_entry__ as ge
+    from diffsinger_tpu.models.toplevel import DiffSingerAcoustic, DiffSingerVariance
+    from diffsinger_tpu.training.acoustic_task import encoder_kwargs_from_batch
+
+    b, t_txt, t_mel = 2, 16, 64
+    hp = dict(ge._acoustic_hparams(tiny=True),
+              use_spk_id=True, num_spk=3,
+              use_key_shift_embed=True, use_speed_embed=True,
+              use_energy_embed=True)
+    model = DiffSingerAcoustic(hp, vocab_size=62, out_dims=hp["audio_num_mel_bins"])
+    params = model.init(jax.random.PRNGKey(0))
+    batch = dict(ge._example_batch(b, t_txt, t_mel, hp["audio_num_mel_bins"]))
+    batch["spk_ids"] = jnp.zeros((b,), jnp.int32)
+    batch["key_shift"] = jnp.zeros((b, t_mel), jnp.float32)
+    batch["speed"] = jnp.ones((b, t_mel), jnp.float32)
+    batch["energy"] = jnp.full((b, t_mel), -40.0, jnp.float32)
+    kwargs = encoder_kwargs_from_batch(hp, batch)
+    assert set(kwargs) == {"spk_embed_id", "key_shift", "speed", "variances"}
+    out = model.forward_infer(
+        params, jax.random.PRNGKey(1), batch["tokens"], batch["mel2ph"],
+        batch["f0"], gt_mel=batch["mel"], steps=2, **kwargs)
+    assert np.isfinite(np.asarray(out.diff_out)).all()
+
+    # variance family: spk_id reaches the encoder (was omitted -> Embedding(None))
+    hp_v = dict(ge._variance_hparams(), use_spk_id=True, num_spk=3)
+    vmodel = DiffSingerVariance(hp_v, vocab_size=62)
+    vparams = vmodel.init(jax.random.PRNGKey(0))
+    vb = {k: np.asarray(v) for k, v in ge._variance_batch(b, t_txt, t_mel).items()}
+    dur_pred, pitch_pred, _ = vmodel.forward_infer(
+        vparams, jax.random.PRNGKey(1), jnp.asarray(vb["tokens"]),
+        jnp.asarray(vb["midi"]), jnp.asarray(vb["ph2word"]),
+        jnp.asarray(vb["base_pitch"]),
+        ph_dur=jnp.asarray(vb["ph_dur"]), mel2ph=jnp.asarray(vb["mel2ph"]),
+        spk_id=jnp.zeros((b,), jnp.int32), steps=2)
+    assert pitch_pred is not None and np.isfinite(np.asarray(pitch_pred)).all()
