@@ -48,7 +48,14 @@ def get_energy(waveform: np.ndarray, length: int, *, hop_size: int, win_size: in
 
 def sinusoidal_smoothing_kernel(kernel_size: int) -> np.ndarray:
     """Half-sine window normalized to sum 1 (reference SinusoidalSmoothingConv1d,
-    utils/binarizer_utils.py:212-227)."""
+    utils/binarizer_utils.py:212-227).
+
+    kernel_size 1 is the identity tap [1.0] — the literal formula gives
+    sin(0)/0 = NaN (the reference shares that edge; its default smoothing
+    widths never reach size 1, but `max(1, round(width/timestep))` call
+    sites can)."""
+    if kernel_size <= 1:
+        return np.ones((1,), np.float32)
     k = np.sin(np.linspace(0, 1, kernel_size, dtype=np.float32) * np.pi)
     return k / k.sum()
 
