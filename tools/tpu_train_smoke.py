@@ -151,6 +151,14 @@ def main():
         "steps_per_s_all_windows_run2": its2,
         "resume_detected": bool(resumed) or ("resum" in log2.lower()),
         "val_losses_seen": len(re.findall(r"validation", log1 + log2, re.IGNORECASE)),
+        # the actual values, not just a count (VERDICT r4): every
+        # "| validation @ STEP tag=V ..." line across both runs
+        "val_loss_vs_step": [
+            {"step": int(step), **{k: float(v) for k, v in
+                                   re.findall(r"(\w+)=([\d.eE+-]+)", tail)}}
+            for step, tail in re.findall(
+                r"validation @ (\d+)([^\n]*)", log1 + log2)
+        ],
         "nan_seen": "nan" in (log1 + log2).lower(),
     }
     out = ROOT / "docs" / "perf"
