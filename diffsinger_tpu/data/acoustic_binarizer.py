@@ -72,15 +72,21 @@ class AcousticBinarizer(BaseBinarizer):
 
     def feature_provenance(self) -> dict:
         from diffsinger_tpu.dsp.d4c import ALGO_VERSION as D4C_VERSION
-        from diffsinger_tpu.dsp.world import ALGO_VERSION as WORLD_VERSION
+        from diffsinger_tpu.dsp.world import (
+            ALGO_VERSION as WORLD_VERSION, resolve_world_backend,
+        )
 
         hp = self.hparams
         info = super().feature_provenance()
         info["pe"] = self.pe.provenance()
         if any(self.need.get(v) for v in ("breathiness", "voicing", "tension")):
             algo = hp.get("hnsep", "comb")
+            # workers resolve auto->host; record what will actually run
+            backend = ("host" if int(self.binarization_args.get("num_workers", 0) or 0) > 0
+                       else resolve_world_backend())
             info["hnsep"] = (
-                f"native-world-v{WORLD_VERSION}(d4c-v{D4C_VERSION})" if algo == "world" else algo
+                f"native-world-v{WORLD_VERSION}(d4c-v{D4C_VERSION},{backend})"
+                if algo == "world" else algo
             )
         return info
 

@@ -51,6 +51,30 @@ def _frame_centers(n_frames: int, hop: int) -> np.ndarray:
     return np.arange(n_frames) * hop
 
 
+def frames_by_blocks(x: jnp.ndarray, n_frames: int, hop: int, start: int,
+                     width: int, pad_mode: str = "constant") -> jnp.ndarray:
+    """``frames[f] = x[f*hop + start : f*hop + start + width]`` (out-of-range
+    samples per ``pad_mode``: zeros, or "edge" = pyworld's clamped indexing)
+    assembled from STATIC hop-block slices instead of an [n_frames, width]
+    gather. TPU lowers general gathers to slow scalar-unit loops; frame
+    extraction at analysis rates (hundreds of frames x thousands of samples)
+    was the CheapTrick/D4C device hot spot, while this form is pure
+    reshape/slice/stack that XLA folds into copies."""
+    wb = -(-width // hop)  # hop blocks covering one frame
+    pad_left = max(0, -start)
+    start0 = start + pad_left
+    r = start0 % hop
+    q = start0 // hop
+    n_rows = q + n_frames - 1 + wb + 1
+    need = r + n_rows * hop
+    pad_right = max(0, need - (x.shape[0] + pad_left))
+    xp = jnp.pad(x, (pad_left, pad_right), mode=pad_mode)
+    blocks = xp[r: r + n_rows * hop].reshape(n_rows, hop)
+    frames = jnp.stack([blocks[q + j: q + j + n_frames] for j in range(wb)],
+                       axis=1).reshape(n_frames, wb * hop)
+    return frames[:, :width]
+
+
 @functools.partial(jax.jit, static_argnames=("fs", "fft_size", "hop"))
 def cheaptrick(
     x: jnp.ndarray, f0: jnp.ndarray, *, fs: int, fft_size: int, hop: int
@@ -68,12 +92,8 @@ def cheaptrick(
 
     # 1. pitch-adaptive windowing: Hanning window spanning 3 periods (1.5 each
     #    side), realized as a masked window over a fixed fft_size-long slice
-    centers = jnp.arange(n_frames) * hop
     offsets = jnp.arange(fft_size) - fft_size // 2
-    pad = fft_size
-    xp = jnp.pad(x, (pad, pad))
-    idx = centers[:, None] + offsets[None, :] + pad  # [F, fft]
-    frames = xp[idx]  # [F, fft]
+    frames = frames_by_blocks(x, n_frames, hop, -(fft_size // 2), fft_size)
 
     half_win = 1.5 * fs / f0  # in samples
     t = offsets[None, :] / half_win[:, None]  # [-1, 1] over the active window
@@ -89,35 +109,56 @@ def cheaptrick(
 
     power = jnp.abs(jnp.fft.rfft(frames, n=fft_size, axis=1)) ** 2  # [F, bins]
     # DC correction (WORLD DCCorrection): mirror the spectrum below f0 back
-    # onto the sub-f0 bins, which otherwise hold only window leakage
+    # onto the sub-f0 bins, which otherwise hold only window leakage.
+    # f0 <= 800 here, so both the corrected bins and their mirror sources lie
+    # in the first ~800/bin_hz columns — the gather stays that narrow instead
+    # of spanning the whole spectrum (TPU gathers are scalar-unit loops).
     bin_hz_dc = fs / fft_size
-    freqs = jnp.arange(n_bins) * bin_hz_dc
-    mirror_f = f0[:, None] - freqs[None, :]
+    head = min(n_bins - 1, int(800.0 / bin_hz_dc) + 2)
+    freqs_h = jnp.arange(head) * bin_hz_dc
+    mirror_f = f0[:, None] - freqs_h[None, :]
     q = mirror_f / bin_hz_dc
-    qf = jnp.clip(jnp.floor(q).astype(jnp.int32), 0, n_bins - 2)
+    qf = jnp.clip(jnp.floor(q).astype(jnp.int32), 0, head - 1)
     qfrac = q - qf
-    rows = jnp.arange(n_frames)[:, None]
-    mirrored = power[rows, qf] * (1 - qfrac) + power[rows, qf + 1] * qfrac
-    power = power + jnp.where(mirror_f > 0, mirrored, 0.0) * (
-        freqs[None, :] < f0[:, None])
+    p_head = power[:, : head + 1]
+    mirrored = jnp.take_along_axis(p_head, qf, axis=1) * (1 - qfrac) + \
+        jnp.take_along_axis(p_head, qf + 1, axis=1) * qfrac
+    add = jnp.where((mirror_f > 0) & (freqs_h[None, :] < f0[:, None]),
+                    mirrored, 0.0)
+    power = jnp.concatenate([power[:, :head] + add, power[:, head:]], axis=1)
 
-    # 2. frequency-domain smoothing with a rectangular window of width 2/3 f0
+    # 2. frequency-domain smoothing with a rectangular window of width 2/3 f0.
+    # The box integral over the interpolated cumsum equals a local sum of
+    # <=ceil(width)+1 cells with trapezoid end weights; evaluating the weight
+    # formula over a STATIC absolute-offset range (it vanishes outside the
+    # per-frame window) turns the two per-element interpolated-cumsum gathers
+    # into ~40 fused static-slice multiply-adds — and the local form is also
+    # numerically safer in float32 than the cumsum difference. Numerator
+    # equivalence at the clipped edges holds because cells beyond the
+    # spectrum contribute zero, exactly like the clamped cumsum endpoints;
+    # the denominator keeps the host's clipped extent.
     bin_hz = fs / fft_size
-    width_bins = (2.0 / 3.0) * f0 / bin_hz  # [F]
-    # smoothing as convolution via cumulative sums with fractional width
-    csum = jnp.cumsum(jnp.pad(power, ((0, 0), (1, 0))), axis=1)  # [F, bins+1]
+    width_bins = (2.0 / 3.0) * f0 / bin_hz  # [F], in [2, ~25] (f0 in [65, 800])
+    w_max = (2.0 / 3.0) * 800.0 / bin_hz
+    ext_l = int(np.ceil(w_max / 2.0)) + 2
+    k_max = int(np.ceil(w_max)) + 2
+    ext = jnp.pad(power, ((0, 0), (ext_l, k_max + 2)))
+    t = ext_l - width_bins / 2.0          # lo_q - i on the extended axis
+    shift = jnp.floor(t).astype(jnp.int32)
+    tfrac = t - jnp.floor(t)
+    o_min = int(np.floor(ext_l - w_max / 2.0)) + 1
+    o_max = ext_l - 1 + k_max  # max shift is ext_l-1 (width >= 2)
+    acc = jnp.zeros((n_frames, n_bins), power.dtype)
+    for o in range(o_min, o_max + 1):
+        jj = (o - shift).astype(power.dtype)[:, None]
+        lo_r = tfrac[:, None] - jj + 1.0
+        w = jnp.clip(lo_r + width_bins[:, None], 0.0, 1.0) - \
+            jnp.clip(lo_r, 0.0, 1.0)
+        acc = acc + w * ext[:, o: o + n_bins]
     pos = jnp.arange(n_bins, dtype=jnp.float32)[None, :]
-    lo = jnp.clip(pos - width_bins[:, None] / 2, 0, n_bins - 1)
-    hi = jnp.clip(pos + width_bins[:, None] / 2, 1, n_bins)
-
-    def interp_csum(c, q):
-        qf = jnp.floor(q).astype(jnp.int32)
-        frac = q - qf
-        return c[qf] * (1 - frac) + c[jnp.minimum(qf + 1, n_bins)] * frac
-
-    smoothed = jax.vmap(lambda c, l, h: (interp_csum(c, h) - interp_csum(c, l)) / jnp.maximum(h - l, 1e-6))(
-        csum, lo, hi
-    )
+    den = jnp.clip(pos + width_bins[:, None] / 2, 1, n_bins) - \
+        jnp.clip(pos - width_bins[:, None] / 2, 0, n_bins - 1)
+    smoothed = acc / jnp.maximum(den, 1e-6)
     # relative safeguard floor (-80 dB below the frame peak): without it, empty
     # spectral regions (log ~ -inf) corrupt the cepstral liftering via Gibbs
     smoothed = jnp.maximum(
@@ -394,18 +435,57 @@ def synthesize_world(
     return y[fft_size: fft_size + y_length]
 
 
+def resolve_world_backend(backend: str = "auto") -> str:
+    """'auto' -> 'device' when an accelerator is the default JAX backend,
+    else 'host'; DS_WORLD_BACKEND=host|device overrides. Binarizers record
+    the resolved value in feature provenance (the float32 device features
+    differ from the float64 host goldens at test-bounded tolerance).
+
+    Spawned binarizer workers always resolve 'auto' to 'host': a TPU holds
+    one client per host, so only the main process may own the accelerator
+    (the provenance strings account for num_workers the same way)."""
+    import multiprocessing
+    import os
+
+    if backend == "auto":
+        env = os.environ.get("DS_WORLD_BACKEND")
+        if env:
+            backend = env
+        elif multiprocessing.current_process().name != "MainProcess":
+            backend = "host"  # never create a second accelerator client
+        else:
+            backend = "device" if jax.default_backend() != "cpu" else "host"
+    if backend not in ("host", "device"):
+        raise ValueError(f"unknown WORLD backend {backend!r}")
+    return backend
+
+
 def world_harmonic_aperiodic(
     waveform: np.ndarray, f0: np.ndarray, *, fs: int, fft_size: int, hop: int,
-    rng: jax.Array | None = None,
+    rng: jax.Array | None = None, backend: str = "auto",
 ):
     """Full WORLD-style decomposition: analyze (cheaptrick + D4C aperiodicity)
     and re-synthesize the harmonic part (ap-weighted, noise off) — the
     reference's 'world' split (decomposed_waveform.py:195-230).
 
+    ``backend``: 'host' = float64 numpy D4C/synthesis (the golden), 'device' =
+    the jitted float32 twin (dsp/world_device.py — the TPU-resident path),
+    'auto' = device when an accelerator is the default JAX backend
+    (overridable with DS_WORLD_BACKEND=host|device). Divergence between the
+    two is bounded by tests/test_world_device.py.
+
     ``rng`` is accepted for API stability but unused: synthesis noise comes
-    from seeded numpy generators (one per part, like WORLD's internal randn).
+    from seeded generators (one per part, like WORLD's internal randn).
     """
     del rng
+    backend = resolve_world_backend(backend)
+    if backend == "device":
+        from diffsinger_tpu.dsp.world_device import (
+            world_harmonic_aperiodic_device,
+        )
+
+        return world_harmonic_aperiodic_device(
+            waveform, f0, fs=fs, fft_size=fft_size, hop=hop)
     # the reference injects 1e-5 noise before WORLD analysis to dodge D4C's
     # band-limited-signal NaN edge case (decomposed_waveform.py:92-99)
     noise = np.random.default_rng(0).standard_normal(len(waveform)) * 1e-5

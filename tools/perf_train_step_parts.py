@@ -27,6 +27,7 @@ import argparse
 import json
 import os
 import pathlib
+import re
 import sys
 import time
 
@@ -34,6 +35,83 @@ import numpy as np
 
 ROOT = pathlib.Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(ROOT))
+
+_DTYPE_BYTES = {
+    "pred": 1, "s8": 1, "u8": 1, "s4": 1, "u4": 1,
+    "bf16": 2, "f16": 2, "s16": 2, "u16": 2, "f8e4m3fn": 1, "f8e5m2": 1,
+    "f32": 4, "s32": 4, "u32": 4,
+    "f64": 8, "s64": 8, "u64": 8, "c64": 8, "c128": 16,
+}
+_SHAPE_RE = re.compile(r"(" + "|".join(_DTYPE_BYTES) + r")\[([0-9,]*)\]")
+
+
+def _shape_bytes(type_str: str) -> int:
+    """Total bytes of an HLO type string (tuples summed)."""
+    total = 0
+    for dt, dims in _SHAPE_RE.findall(type_str):
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dt]
+    return total
+
+
+def hlo_byte_table(compiled, top_n: int = 25):
+    """Approximate per-instruction HBM traffic of the compiled ENTRY graph.
+
+    Post-optimization HLO is a sequence of fusions/convs/dots; each top-level
+    instruction reads its operands from HBM once and writes its outputs once
+    (fusion-internal values never materialize), so traffic(op) ~ sum(operand
+    bytes) + output bytes. This is the same model XLA's own
+    `bytes accessed` cost uses, but attributed per instruction so the top
+    byte producers are visible. Parameters/constants/GTE/bitcast cost nothing.
+    Caveat: covers the ENTRY computation (the train step has no top-level
+    while/cond); a scan would need trip-count multiplication.
+    """
+    text = compiled.as_text()
+    # find ENTRY computation body
+    m = re.search(r"^ENTRY [^\n]*\{$", text, re.M)
+    if not m:
+        return None
+    body = text[m.end(): text.index("\n}", m.end())]
+    inst_re = re.compile(
+        r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*((?:\([^=]*?\)|[\w\[\]{}:,#*\s]+?))\s+"
+        r"([\w\-]+)\((.*)$", re.M)
+    shapes: dict[str, str] = {}
+    rows = []
+    for mm in inst_re.finditer(body):
+        name, type_str, opcode, rest = mm.groups()
+        shapes[name] = type_str
+        if opcode in ("parameter", "constant", "get-tuple-element", "bitcast",
+                      "tuple", "after-all", "iota"):
+            continue
+        out_b = _shape_bytes(type_str)
+        opnd_b = 0
+        for op_name in re.findall(r"%?([\w.\-]+)", rest.split("),")[0]):
+            if op_name in shapes:
+                opnd_b += _shape_bytes(shapes[op_name])
+        # categorize: fusion kind if present, else opcode
+        kind = opcode
+        km = re.search(r"kind=(\w+)", rest)
+        if km:
+            kind = f"fusion.{km.group(1)}"
+        rows.append({"name": name, "op": kind, "bytes": out_b + opnd_b,
+                     "out_bytes": out_b})
+    rows.sort(key=lambda r: -r["bytes"])
+    by_cat: dict[str, float] = {}
+    for r in rows:
+        by_cat[r["op"]] = by_cat.get(r["op"], 0) + r["bytes"]
+    total = sum(r["bytes"] for r in rows)
+    return {
+        "total_gb": round(total / 1e9, 2),
+        "by_category_gb": {k: round(v / 1e9, 3) for k, v in
+                           sorted(by_cat.items(), key=lambda kv: -kv[1])},
+        "top_instructions": [
+            {**r, "gb": round(r["bytes"] / 1e9, 3)} for r in rows[:top_n]
+        ],
+        "n_instructions": len(rows),
+    }
 
 
 def main():
@@ -47,6 +125,10 @@ def main():
                          "(rbg = XLA RngBitGenerator, the TPU-native fast path)")
     ap.add_argument("--only", type=str, default=None,
                     help="comma-separated subset of programs to run")
+    ap.add_argument("--hlo-bytes", action="store_true",
+                    help="attribute per-instruction HBM traffic of each "
+                         "program's optimized HLO (writes "
+                         "docs/perf/train_step_bytes.json unless --only/--set)")
     ap.add_argument("--set", action="append", default=[], dest="overrides",
                     help="hparams override k=v (yaml-parsed; repeatable) for "
                          "A/B runs, e.g. --set recompute_grads=true")
@@ -200,10 +282,16 @@ def main():
     result = {"device": jax.devices()[0].platform, "batch": B, "frames": T_MEL,
               "rng_impl": args.rng, "peak_tflops": peak / 1e12,
               "hbm_gbps": hbm_bw / 1e9, "parts": {}}
+    byte_tables = {}
     for name, (build, call) in programs.items():
         t0 = time.time()
         compiled = build()
         compile_s = time.time() - t0
+        if args.hlo_bytes:
+            try:
+                byte_tables[name] = hlo_byte_table(compiled)
+            except Exception as e:  # parsing is best-effort diagnostics
+                byte_tables[name] = {"error": repr(e)}
         flops = None
         bytes_accessed = None
         try:
@@ -244,6 +332,26 @@ def main():
               f"floor {floor_ms or 0:7.1f} ms "
               f"({result['parts'][name]['floor_bound'] or '-'}) "
               f"= {((floor_ms or 0) / (med*1e3))*100:4.0f}% of SoL", flush=True)
+
+    if args.hlo_bytes:
+        for name, table in byte_tables.items():
+            if not table or "error" in table:
+                print(f"| {name}: byte table unavailable: {table}")
+                continue
+            print(f"| {name}: HLO traffic {table['total_gb']} GB over "
+                  f"{table['n_instructions']} instructions")
+            for cat, gb in list(table["by_category_gb"].items())[:6]:
+                print(f"|   {cat:24s} {gb:8.3f} GB")
+            for r in table["top_instructions"][:8]:
+                print(f"|   top: {r['op']:20s} {r['gb']:7.3f} GB  {r['name']}")
+        if not args.overrides:
+            outb = ROOT / "docs" / "perf" / "train_step_bytes.json"
+            outb.write_text(json.dumps(
+                {"device": result["device"], "batch": B, "frames": T_MEL,
+                 "model": "traffic(op) = operand bytes + output bytes over "
+                          "top-level optimized-HLO instructions",
+                 "programs": byte_tables}, indent=2) + "\n")
+            print(f"| wrote {outb}")
 
     if not args.only and not args.overrides:
         out = ROOT / "docs" / "perf" / "train_step_parts.json"

@@ -152,10 +152,46 @@ def bench_neural_extractors():
                       "audio_seconds_per_sec": round(audio_s / dt, 1)}))
 
 
+def bench_world_split(seconds_list=(5.0, 15.0), iters: int = 3):
+    """Host (float64 numpy golden) vs device (jitted float32) full WORLD
+    decomposition — the `world`-mode binarization hot spot (VERDICT r4 #3).
+    Two clip lengths: dispatch+transfer overheads amortize on longer items."""
+    from diffsinger_tpu.dsp import golden_signals as gs
+    from diffsinger_tpu.dsp.world import world_harmonic_aperiodic
+
+    hop, fft_size = 512, 2048
+    for seconds in seconds_list:
+        wave = np.tile(gs.signal_bank()["vibrato"][0],
+                       int(np.ceil(seconds / 2)))
+        wave = wave[: int(SR * seconds)]
+        n = int(np.ceil((len(wave) + 1) / hop))
+        f0 = np.full(n, 220.0, np.float32)
+
+        for backend in ("host", "device"):
+            it = 1 if backend == "host" and seconds > 5 else iters
+            world_harmonic_aperiodic(wave, f0, fs=SR, fft_size=fft_size,
+                                     hop=hop, backend=backend)  # warm
+            t0 = time.perf_counter()
+            for _ in range(it):
+                h, a = world_harmonic_aperiodic(
+                    wave, f0, fs=SR, fft_size=fft_size, hop=hop,
+                    backend=backend)
+            dt = (time.perf_counter() - t0) / it
+            assert np.isfinite(h).all() and np.isfinite(a).all()
+            print(json.dumps({
+                "part": f"world_decomposition_{backend}",
+                "audio_seconds": seconds, "ms": round(dt * 1e3, 1),
+                "audio_seconds_per_sec": round(seconds / dt, 1),
+            }))
+
+
 def main():
     from diffsinger_tpu.utils.jax_setup import setup_jax
 
     setup_jax()
+    if "--world-only" in sys.argv:
+        bench_world_split()
+        return
     if "--pipeline-only" not in sys.argv:
         bench_neural_extractors()
     if "--stages-only" not in sys.argv:
