@@ -29,7 +29,8 @@ class ConvNeXtBlock(nn.Module):
             self.dim, kernel_size=(7,), padding=3, feature_group_count=self.dim,
             dtype=self.dtype, name="dwconv",
         )(x)
-        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        # dtype keeps bf16 activations bf16 (stats stay f32 inside flax)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(self.intermediate_dim, dtype=self.dtype, name="pwconv1")(x)
         x = jax.nn.gelu(x, approximate=False)
         x = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(x)
@@ -37,7 +38,7 @@ class ConvNeXtBlock(nn.Module):
             gamma = self.param(
                 "gamma", nn.initializers.constant(self.layer_scale_init_value), (self.dim,)
             )
-            x = gamma * x
+            x = gamma.astype(x.dtype) * x
         if self.dropout > 0:
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return residual + x

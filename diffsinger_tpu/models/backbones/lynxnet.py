@@ -20,14 +20,19 @@ from diffsinger_tpu.models.commons import (
 
 
 class PReLU(nn.Module):
-    """Per-channel PReLU (torch nn.PReLU(num_parameters=C), init 0.25)."""
+    """Per-channel PReLU (torch nn.PReLU(num_parameters=C), init 0.25).
+
+    alpha (an f32 param) is cast to x.dtype before the multiply: without the
+    cast, bf16 activations promote to f32 here, doubling the HBM residency of
+    the widest buffer in the network (B x T x inner) on an HBM-bound backward.
+    """
 
     features: int
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         alpha = self.param("alpha", nn.initializers.constant(0.25), (self.features,))
-        return jnp.where(x >= 0, x, alpha * x)
+        return jnp.where(x >= 0, x, alpha.astype(x.dtype) * x)
 
 
 class LYNXConvModule(nn.Module):
@@ -44,7 +49,10 @@ class LYNXConvModule(nn.Module):
         pad = self.kernel_size // 2
         padding = (pad, pad - (self.kernel_size + 1) % 2)
 
-        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        # dtype on the norms keeps bf16 activations bf16 (flax still computes
+        # the statistics in f32); with dtype=None the f32 scale/bias promote
+        # the whole normalized buffer to f32 in HBM
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         x = nn.Conv(inner * 2, kernel_size=(1,), dtype=self.dtype, name="pw_conv1")(x)
         x = swiglu(x)
         x = nn.Conv(
@@ -174,7 +182,7 @@ class LYNXNet(nn.Module):
             )(x, cond, step, deterministic,
               None if cond_proj is None else cond_proj[i])
 
-        x = nn.LayerNorm(epsilon=1e-5, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(
             self.in_dims * self.n_feats,
             kernel_init=nn.initializers.zeros,

@@ -306,7 +306,7 @@ class EncSALayer(nn.Module):
     def __call__(self, x: jnp.ndarray, padding_mask: jnp.ndarray, deterministic: bool = True):
         nonpadding = (1.0 - padding_mask.astype(x.dtype))[:, :, None]
         residual = x
-        y = nn.LayerNorm(epsilon=1e-5, name="layer_norm1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm1")(x)
         attn_cls = SelfAttentionRoPE if self.use_rope else SelfAttentionAbs
         y = attn_cls(
             self.hidden_size,
@@ -319,7 +319,7 @@ class EncSALayer(nn.Module):
         x = (residual + y) * nonpadding
 
         residual = x
-        y = nn.LayerNorm(epsilon=1e-5, name="layer_norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm2")(x)
         y = TransformerFFN(
             self.hidden_size,
             4 * self.hidden_size,
@@ -390,7 +390,7 @@ class FastSpeech2Encoder(nn.Module):
                 dtype=self.dtype,
                 name=f"layers_{i}",
             )(x, padding_mask, deterministic=deterministic) * nonpadding
-        x = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(x) * nonpadding
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")(x) * nonpadding
         return x
 
 
