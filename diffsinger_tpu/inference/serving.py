@@ -127,6 +127,7 @@ class AcousticServer(_ServerMixin, DiffSingerAcousticInfer):
         # far from the deep-queue pathology the axon tunnel shows on training
         # loops (NOTES.md round-3 session 6).
         pending = []  # (chunk, t_txt, t_mel, wav_dev, t_dispatch_s)
+        stats = []  # per-chunk wall attribution, kept on self.last_stats
         for _spk, idxs in groups.items():
             idxs = sorted(idxs, key=lambda i: (keys[i][1], keys[i][0]))
             for chunk_start in range(0, len(idxs), self.max_batch_size):
@@ -156,14 +157,25 @@ class AcousticServer(_ServerMixin, DiffSingerAcousticInfer):
             wavs = np.asarray(wav_dev)
             if wavs.dtype == np.int16:  # fused path ships int16 over the wire
                 wavs = wavs.astype(np.float32) / 32767.0
+            t3 = time.perf_counter()
+            stats.append({
+                "batch": len(chunk), "t_txt": t_txt, "t_mel": t_mel,
+                "dispatch_s": dispatch_s,
+                # compute_s is only separable under profile (the 1-element
+                # probe forces remote execution before the bulk fetch);
+                # without it the device wait is folded into fetch_s
+                "compute_s": (t2 - t1) if profile else None,
+                "fetch_s": t3 - t2,
+                "wire_mb": wav_dev.nbytes / 1e6,
+            })
             if profile:
-                t3 = time.perf_counter()
                 print(f"| serve chunk B={len(chunk)} [{t_txt}x{t_mel}]: "
                       f"stack+dispatch {dispatch_s:.3f}s compute-wait {t2-t1:.3f}s "
                       f"fetch {t3-t2:.3f}s ({wav_dev.nbytes/1e6:.1f} MB)")
             for j, seg_idx in enumerate(chunk):
                 length = batches[seg_idx]["mel2ph"].shape[1]
                 results[seg_idx] = wavs[j, : length * hop]
+        self.last_stats = stats
         return results
 
     def run_inference(

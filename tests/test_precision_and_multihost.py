@@ -300,3 +300,43 @@ class TestPrefetchIterator:
         while (a._t.is_alive() or b._t.is_alive()) and _time.time() < deadline:
             _time.sleep(0.01)
         assert not a._t.is_alive() and not b._t.is_alive()
+
+
+def test_bf16_path_has_no_wide_f32_intermediates():
+    """Regression guard for the r5 HBM-residency fix: under bf16 compute, no
+    [B, T, C>=1024] f32 intermediate may appear in the LYNXNet forward jaxpr
+    outside LayerNorm's f32 statistics chain (which XLA fuses away).  Before
+    the fix, PReLU's f32 alpha and LayerNorm's f32 scale/bias promoted the
+    widest activations to f32 — the top byte producers of the train step
+    (docs/perf/train_step_bytes.json)."""
+    from diffsinger_tpu.models.backbones.lynxnet import LYNXNet
+
+    net = LYNXNet(in_dims=16, n_feats=1, cond_dims=16, num_layers=1,
+                  num_channels=1024, expansion_factor=2, kernel_size=31,
+                  dtype=jnp.bfloat16)
+    B, T = 2, 8
+    spec = jnp.zeros((B, T, 16), jnp.float32)
+    step = jnp.zeros((B,), jnp.float32)
+    cond = jnp.zeros((B, T, 16), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), spec, step, cond)
+    jaxpr = jax.make_jaxpr(lambda p, s, st, c: net.apply(p, s, st, c))(
+        params, spec, step, cond)
+    # LN statistic ops are allowed in f32 (fused by XLA; output is bf16);
+    # anything else wide+f32 is a residency regression
+    ln_ops = {"convert_element_type", "square", "sub", "add", "mul",
+              "reduce_sum", "div", "rsqrt"}
+    wide_f32 = [
+        (eqn.primitive.name, v.aval.shape)
+        for eqn in jaxpr.jaxpr.eqns
+        for v in eqn.outvars
+        if hasattr(v.aval, "shape") and len(v.aval.shape) == 3
+        and v.aval.shape[-1] >= 2048 and str(v.aval.dtype) == "float32"
+    ]
+    assert not wide_f32, wide_f32
+    # and the widest (inner=2048) buffers must exist in bf16
+    wide_bf16 = [
+        v for eqn in jaxpr.jaxpr.eqns for v in eqn.outvars
+        if hasattr(v.aval, "shape") and len(v.aval.shape) == 3
+        and v.aval.shape[-1] == 2048 and str(v.aval.dtype) == "bfloat16"
+    ]
+    assert wide_bf16

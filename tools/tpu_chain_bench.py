@@ -214,6 +214,39 @@ def main():
     walls.sort()
     wall, t_var, t_ac = walls[len(walls) // 2]  # median by total wall
     frames = audio_s * hp_ac["audio_sample_rate"] / hp_ac["hop_size"]
+
+    # one profiled pass: the per-chunk 1-element probe separates device
+    # compute from the tunnel fetch, giving the wire-floor attribution
+    # (the axon tunnel's bulk-fetch bandwidth fluctuates 10-20 MB/s; on a
+    # local TPU host the same fetch is PCIe-speed and the e2e RTF converges
+    # to the device-side number)
+    wire = None
+    if args.batch:
+        import os as _os
+
+        _os.environ["DS_SERVING_PROFILE"] = "1"
+        p_var, p_ac = run_chain(var_infer, ac_infer, segments, out, args.steps)
+        del _os.environ["DS_SERVING_PROFILE"]
+        st = getattr(ac_infer, "last_stats", None) or []
+        if st:
+            compute_s = sum(c["compute_s"] or 0.0 for c in st)
+            fetch_s = sum(c["fetch_s"] for c in st)
+            mb = sum(c["wire_mb"] for c in st)
+            dev_wall = t_var + compute_s  # variance wall + acoustic device
+            wire = {
+                "acoustic_device_s": round(compute_s, 3),
+                "acoustic_fetch_s": round(fetch_s, 3),
+                "wire_mb": round(mb, 1),
+                "wire_mbps": round(mb / fetch_s, 1) if fetch_s else None,
+                "device_side_rtf": round(audio_s / dev_wall, 1),
+                "note": "device_side_rtf = audio_s / (variance wall + "
+                        "acoustic device compute); the gap to chain_e2e_rtf "
+                        "is the tunnel bulk-fetch at wire_mbps",
+            }
+            print(f"| wire attribution: acoustic device {compute_s:.2f}s, "
+                  f"fetch {fetch_s:.2f}s ({mb:.1f} MB -> "
+                  f"{mb/fetch_s if fetch_s else 0:.1f} MB/s), "
+                  f"device-side RTF {audio_s/dev_wall:.1f}x")
     result = {
         "metric": "chain_e2e_rtf",
         "value": round(audio_s / wall, 2),
@@ -231,7 +264,10 @@ def main():
         "infer_precision": precision,
         "tiny": bool(args.tiny),
         "device": jax.devices()[0].platform,
+        "rtf_runs": [round(audio_s / w[0], 1) for w in walls],
     }
+    if wire:
+        result["wire_attribution"] = wire
     print(json.dumps(result))
     if args.record:
         rec = ROOT / "docs" / "perf" / "chain_bench.json"
