@@ -59,6 +59,12 @@ def test_acoustic_server_batches_segments(tmp_path):
         server = AcousticServer(hp, max_batch_size=4)
     wavs = server.synthesize_batch(segments, seed=1, steps=2)
     assert len(wavs) == 3
+    # per-chunk wall attribution is kept for bench tooling (chain_bench's
+    # wire_attribution): one chunk of 3 segments, wire bytes accounted
+    assert len(server.last_stats) == 1
+    st = server.last_stats[0]
+    assert st["batch"] == 3 and st["wire_mb"] > 0
+    assert st["fetch_s"] >= 0 and st["dispatch_s"] >= 0 and st["compute_s"] is None
     hop, sr = hp["hop_size"], hp["audio_sample_rate"]
     for seg, wav in zip(segments, wavs):
         dur = sum(float(d) for d in seg["ph_dur"].split())

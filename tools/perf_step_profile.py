@@ -60,6 +60,40 @@ def parse_op_profile(xplane_files, iters: int):
     return rows, prog["metrics"]["rawTime"] / iters / 1e9
 
 
+def parse_module_times(xplane_files, iters: int):
+    """hlo_stats -> device self-time aggregated by model module.
+
+    The jax op_name metadata carries the flax module path
+    (e.g. 'jit(<lambda>)/transpose(jvp(AcousticModule.denoise))/denoiser/
+    residual_layers_0/...'); grouping self-time by the jvp/transpose segment
+    splits the step into encoder/aux/denoiser x fwd/bwd plus optimizer/other.
+    """
+    import re
+
+    from xprof.convert import raw_to_tool_data as rtd
+
+    data, _ = rtd.xspace_to_tool_data(xplane_files, "hlo_stats", {})
+    obj = json.loads(data)
+    cols = [c["id"] for c in obj["cols"]]
+    i_name = cols.index("tf_op_name")
+    i_self = cols.index("total_self_time")
+    groups: dict[str, float] = {}
+    for row in obj["rows"]:
+        c = row["c"] if isinstance(row, dict) else row
+        name = c[i_name]["v"] or ""
+        us = float(c[i_self]["v"] or 0.0)
+        m = re.search(r"(transpose\()?jvp\(\w+\.(\w+)\)", name)
+        if m:
+            key = f"{m.group(2)}_{'bwd' if m.group(1) else 'fwd'}"
+        elif "adamw" in name or "optimizer" in name:
+            key = "optimizer"
+        else:
+            key = "other"
+        groups[key] = groups.get(key, 0.0) + us
+    return {k: round(v / iters / 1e3, 1)  # us-total -> ms/iter
+            for k, v in sorted(groups.items(), key=lambda kv: -kv[1])}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--program", default="full",
@@ -156,6 +190,7 @@ def main():
 
     files = glob.glob(f"{tracedir}/plugins/profile/*/*.xplane.pb")
     rows, device_ms = parse_op_profile(files, args.iters)
+    module_ms = parse_module_times(files, args.iters)
 
     import os
     peak = float(os.environ.get("DS_BENCH_PEAK_TFLOPS", "197")) * 1e12
@@ -188,6 +223,7 @@ def main():
         "note": "serial floor = sum over fusions of max(mxu, hbm) time; "
                 "device ms excludes the axon tunnel dispatch charge that "
                 "wall-clock timers include",
+        "module_ms": module_ms,
         "top_fusions": rows[:20],
     }
     print(f"| device {device_ms:.1f} ms/iter, serial-SoL floor "
@@ -197,6 +233,7 @@ def main():
     for r in rows[:12]:
         print(f"| {r['ms']:7.2f} ms {r['tflops_per_s']:7.1f} TF/s "
               f"{r['gb_per_s']:5.0f} GB/s sol={r['sol']:4.2f} {r['name'][:56]}")
+    print(f"| per-module device ms/iter: {json.dumps(module_ms)}")
     if args.program == "full":
         out = ROOT / "docs" / "perf" / "train_step_profile.json"
         out.write_text(json.dumps(result, indent=2) + "\n")
