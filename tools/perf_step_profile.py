@@ -25,6 +25,7 @@ from __future__ import annotations
 import argparse
 import glob
 import json
+import os
 import pathlib
 import sys
 import tempfile
@@ -97,7 +98,7 @@ def parse_module_times(xplane_files, iters: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--program", default="full",
-                    choices=["full", "denoise_grad", "fwd"])
+                    choices=["full", "denoise_grad", "fwd", "serve"])
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--frames", type=int, default=896)
     ap.add_argument("--tokens", type=int, default=112)
@@ -121,6 +122,9 @@ def main():
     hp.update(use_energy_embed=False, use_breathiness_embed=False,
               use_key_shift_embed=False, use_speed_embed=False,
               pl_trainer_precision="16-mixed")
+    if args.program == "serve":
+        # bench.py's exact headline program: 50-step sampling + NSF-HiFiGAN
+        hp["sampling_steps"] = 50
     n_mels = hp["audio_num_mel_bins"]
     model = DiffSingerAcoustic(hp, vocab_size=62, out_dims=n_mels, dtype=jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0))
@@ -138,7 +142,39 @@ def main():
     }
     key = jax.random.key(2, impl="rbg")
 
-    if args.program == "full":
+    if args.program == "serve":
+        from diffsinger_tpu.vocoders.nsf_hifigan_model import (
+            Generator, NsfHifiGanConfig,
+        )
+
+        B_s = int(os.environ.get("DS_BENCH_BATCH", "16"))
+        T_TXT_S, T_MEL_S = 128, 1024
+        rng_s = np.random.default_rng(0)
+        tokens_s = jnp.asarray(
+            rng_s.integers(1, 60, (B_s, T_TXT_S)).astype(np.int32))
+        mel2ph_s = jnp.asarray(np.tile(
+            np.repeat(np.arange(1, T_TXT_S + 1), T_MEL_S // T_TXT_S)[None],
+            (B_s, 1)).astype(np.int32))
+        f0_s = jnp.asarray(np.full((B_s, T_MEL_S), 220.0, np.float32))
+        voc_cfg = NsfHifiGanConfig(
+            num_mels=n_mels, sampling_rate=hp["audio_sample_rate"],
+            mini_nsf=True, noise_sigma=0.0)
+        vocoder = Generator(voc_cfg, dtype=jnp.bfloat16)
+        voc_params = vocoder.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, 16, n_mels)), jnp.zeros((1, 16)))
+
+        def e2e(params, voc_params, rng, tokens, mel2ph, f0):
+            out = model.forward_infer(params, rng, tokens, mel2ph, f0)
+            wav = vocoder.apply(voc_params, out.diff_out, f0)
+            return jnp.abs(wav).mean()
+
+        f = jax.jit(e2e)
+        key_s = jax.random.PRNGKey(2)
+
+        def run(i):
+            return f(params, voc_params, jax.random.fold_in(key_s, i),
+                     tokens_s, mel2ph_s, f0_s)
+    elif args.program == "full":
         loss_fn = make_acoustic_loss_fn(model)
         tx, _ = build_optimizer(hp)
         state = create_train_state(params, tx)
@@ -192,7 +228,6 @@ def main():
     rows, device_ms = parse_op_profile(files, args.iters)
     module_ms = parse_module_times(files, args.iters)
 
-    import os
     peak = float(os.environ.get("DS_BENCH_PEAK_TFLOPS", "197")) * 1e12
     hbm_bw = float(os.environ.get("DS_BENCH_HBM_GBPS", "819")) * 1e9
     serial_floor_ms = 0.0
@@ -234,8 +269,10 @@ def main():
         print(f"| {r['ms']:7.2f} ms {r['tflops_per_s']:7.1f} TF/s "
               f"{r['gb_per_s']:5.0f} GB/s sol={r['sol']:4.2f} {r['name'][:56]}")
     print(f"| per-module device ms/iter: {json.dumps(module_ms)}")
-    if args.program == "full":
-        out = ROOT / "docs" / "perf" / "train_step_profile.json"
+    if args.program in ("full", "serve"):
+        out = ROOT / "docs" / "perf" / (
+            "train_step_profile.json" if args.program == "full"
+            else "serve_profile.json")
         out.write_text(json.dumps(result, indent=2) + "\n")
         print(f"| wrote {out}")
     print(json.dumps({k: v for k, v in result.items() if k != "top_fusions"}))
